@@ -1,0 +1,141 @@
+"""Deterministic multi-scale background-window miner.
+
+Replicates the reference NegReader schedule exactly
+(imagestorage.cpp:23-126): round-robin over the bg list with a
+round-counter-derived start offset, windows slid by stepFactor=0.5·win,
+then scale ·= √2 and rescan, then next image. Resizes use the bit-exact
+INTER_LINEAR_EXACT twin (ops/resize.py) so every emitted window is
+byte-identical to the reference's.
+
+The TPU-native twist: ``take_batch(n)`` materializes the next n schedule
+windows in one (n, h, w) array so hard-negative mining can run the cascade
+on-device over large batches instead of the reference's
+one-window-per-predict loop (cascadeclassifier.cpp:329-357). Selection
+equivalence holds because the schedule is independent of the cascade's
+accept/reject decisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cascadeclassifier_tpu.ops.resize import resize_linear_exact_np
+
+SCALE_FACTOR = np.float32(1.4142135623730950488016887242097)
+STEP_FACTOR = np.float32(0.5)
+
+
+def read_bg_list(path: str):
+    """bg.txt parsing (imagestorage.cpp:35-55): '#' comments skipped, an
+    empty line terminates the list."""
+    names = []
+    with open(path) as f:
+        for line in f:
+            s = line.rstrip(" \n\r\t")
+            if not s:
+                break
+            if s[0] == "#":
+                continue
+            names.append(s)
+    return names
+
+
+class NegReader:
+    """Streaming negative miner; ``get()`` yields one (h, w) uint8 window."""
+
+    def __init__(self, bg_path: str, win_w: int, win_h: int, imread=None):
+        self.filenames = read_bg_list(bg_path)
+        if not self.filenames:
+            raise FileNotFoundError(f"no backgrounds in {bg_path}")
+        self.win_w, self.win_h = win_w, win_h
+        self.src = None  # full-res gray image
+        self.img = None  # current scaled image
+        self.point = (0, 0)
+        self.offset = (0, 0)
+        self.scale = np.float32(1.0)
+        self.last = 0
+        self.round = 0
+        if imread is None:
+            import cv2
+
+            imread = lambda p: cv2.imread(p, 0)  # noqa: E731
+        self._imread = imread
+
+    # -- schedule (mirrors NegReader::nextImg / ::get) ----------------------
+
+    def _next_img(self) -> bool:
+        count = len(self.filenames)
+        src = None
+        off = (0, 0)
+        for _ in range(count):
+            src = self._imread(self.filenames[self.last])
+            self.last += 1
+            if src is None or src.size == 0:
+                self.last %= count
+                src = None
+                continue
+            self.round += self.last // count
+            self.round %= self.win_w * self.win_h
+            self.last %= count
+            ox = min(self.round % self.win_w, src.shape[1] - self.win_w)
+            oy = min(self.round // self.win_w, src.shape[0] - self.win_h)
+            if src.ndim == 2 and ox >= 0 and oy >= 0:
+                off = (ox, oy)
+                break
+            src = None
+        if src is None:
+            return False
+        self.src = src
+        self.point = self.offset = off
+        rows, cols = src.shape
+        self.scale = np.float32(
+            max(
+                np.float32(self.win_w + off[0]) / np.float32(cols),
+                np.float32(self.win_h + off[1]) / np.float32(rows),
+            )
+        )
+        sz_w = int(self.scale * cols + 0.5)
+        sz_h = int(self.scale * rows + 0.5)
+        self.img = resize_linear_exact_np(src, sz_w, sz_h)
+        return True
+
+    def get(self):
+        """Next window, or None when no usable background exists."""
+        if self.img is None:
+            if not self._next_img():
+                return None
+        ww, wh = self.win_w, self.win_h
+        px, py = self.point
+        win = self.img[py : py + wh, px : px + ww].copy()
+
+        # advance (imagestorage.cpp:105-124)
+        if int(px + (1.0 + STEP_FACTOR) * ww) < self.img.shape[1]:
+            self.point = (px + int(STEP_FACTOR * ww), py)
+        else:
+            px0 = self.offset[0]
+            if int(py + (1.0 + STEP_FACTOR) * wh) < self.img.shape[0]:
+                self.point = (px0, py + int(STEP_FACTOR * wh))
+            else:
+                self.point = (px0, self.offset[1])
+                self.scale = np.float32(self.scale * SCALE_FACTOR)
+                if self.scale <= 1.0:
+                    rows, cols = self.src.shape
+                    self.img = resize_linear_exact_np(
+                        self.src, int(self.scale * cols), int(self.scale * rows)
+                    )
+                else:
+                    if not self._next_img():
+                        return None
+        return win
+
+    def take_batch(self, n: int) -> np.ndarray:
+        """Next n schedule windows as (m, win_h, win_w) uint8, m ≤ n."""
+        out = np.empty((n, self.win_h, self.win_w), np.uint8)
+        m = 0
+        for i in range(n):
+            w = self.get()
+            if w is None:
+                break
+            out[m] = w
+            m += 1
+        return out[:m]

@@ -1,0 +1,166 @@
+"""Dense (gather-free) cascade evaluation over the pyramid canvas.
+
+TPU XLA gathers run at ~1 element/cycle, so any per-window gather design is
+two orders of magnitude off the VPU's throughput. Instead, every rectangle
+sum is computed for *all* window positions at once as a combination of four
+statically-shifted 2D slices of the canvas integral image — pure vector
+arithmetic at full VPU width. A window at scaled coords (x, y) of level s
+lives at canvas position (block_top[s] + y, x), so one shifted slice serves
+every pyramid level simultaneously.
+
+This is the TPU-native replacement for the reference's per-window
+early-exit loop (SURVEY §3.2): stages are evaluated densely under a
+survivor mask; the mask does not reduce dense work (that optimization is
+the planned Pallas tile-level early-exit kernel), but it keeps the math
+identical to the OpenCV runtime.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dense_rect_sum(c2d, rx, ry, w, h, out_h, out_w):
+    """Rect sum at every canvas position: 4 shifted slices (CV_SUM_OFFSETS)."""
+    return (
+        c2d[ry : ry + out_h, rx : rx + out_w]
+        - c2d[ry : ry + out_h, rx + w : rx + w + out_w]
+        - c2d[ry + h : ry + h + out_h, rx : rx + out_w]
+        + c2d[ry + h : ry + h + out_h, rx + w : rx + w + out_w]
+    )
+
+
+def dense_tilted_rect_sum(t2d, rx, ry, w, h, out_h, out_w):
+    """Tilted rect sum (CV_TILTED_OFFSETS corner geometry) at every position.
+
+    Corners: p0=(x, y), p1=(x−h, y+h), p2=(x+w, y+w), p3=(x+w−h, y+w+h);
+    rectsum = p0 − p1 − p2 + p3. The Haar generator's constraints
+    (haarfeatures.cpp:204-244: x−dy ≥ 0 etc.) guarantee every corner stays
+    inside the window, so all slice offsets are non-negative and in range."""
+    assert rx - h >= 0, "tilted rect escapes window"
+
+    def sl(dy, dx):
+        return t2d[dy : dy + out_h, dx : dx + out_w]
+
+    return (
+        sl(ry, rx)
+        - sl(ry + h, rx - h)
+        - sl(ry + w, rx + w)
+        + sl(ry + w + h, rx + w - h)
+    )
+
+
+def dense_variance_gate(sum2d, sq2d, win_w, win_h, out_h, out_w):
+    """OpenCV HaarEvaluator::setWindow gate at every position.
+
+    Returns (gate_ok bool, inv_nf f32), both (out_h, out_w)."""
+    rw, rh = win_w - 2, win_h - 2
+    area = rw * rh
+    with jax.enable_x64(True):
+        vs = dense_rect_sum(sum2d, 1, 1, rw, rh, out_h, out_w).astype(jnp.int64)
+        vq = dense_rect_sum(sq2d, 1, 1, rw, rh, out_h, out_w)
+        nf2 = jnp.int64(area) * vq - vs * vs
+        pos = nf2 > 0
+        nf = jnp.sqrt(jnp.where(pos, nf2, 1).astype(jnp.float64))
+        inv_nf = (1.0 / nf).astype(jnp.float32)
+        ok = pos & ((float(area) * inv_nf.astype(jnp.float64)) < 1e-1)
+    return ok, jnp.where(ok, inv_nf, jnp.float32(1.0))
+
+
+def dense_stage_haar(sum2d, tilt2d, stage, out_h, out_w, inv_nf):
+    """Σ leaves over one stage's stump trees at every position → f64."""
+    with jax.enable_x64(True):
+        acc = jnp.zeros((out_h, out_w), jnp.float64)
+        for i in range(stage.ntrees):
+            raw = None
+            for r in range(3):
+                wt = float(stage.weights[i, r])
+                if wt == 0.0:
+                    continue
+                rx, ry, w, h = (int(v) for v in stage.feat_rects[i, r])
+                if stage.tilted[i]:
+                    term = dense_tilted_rect_sum(
+                        tilt2d, rx, ry, w, h, out_h, out_w
+                    ).astype(jnp.float32) * np.float32(wt)
+                else:
+                    term = dense_rect_sum(
+                        sum2d, rx, ry, w, h, out_h, out_w
+                    ).astype(jnp.float32) * np.float32(wt)
+                raw = term if raw is None else raw + term
+            val = raw * inv_nf
+            leaf = jnp.where(
+                val < np.float32(stage.thr[i]),
+                np.float64(stage.left_leaf[i]),
+                np.float64(stage.right_leaf[i]),
+            )
+            acc = acc + leaf
+    return acc
+
+
+def dense_stage_lbp(sum2d, stage, out_h, out_w):
+    """Σ leaves over one stage's categorical (LBP) stumps → f64."""
+    with jax.enable_x64(True):
+        acc = jnp.zeros((out_h, out_w), jnp.float64)
+        for i in range(stage.ntrees):
+            x, y, w, h = (int(v) for v in stage.lbp_rects[i])
+
+            def cs(cx, cy):
+                return dense_rect_sum(sum2d, cx, cy, w, h, out_h, out_w)
+
+            c00, c10, c20 = cs(x, y), cs(x + w, y), cs(x + 2 * w, y)
+            c01, c11, c21 = cs(x, y + h), cs(x + w, y + h), cs(x + 2 * w, y + h)
+            c02, c12, c22 = (
+                cs(x, y + 2 * h),
+                cs(x + w, y + 2 * h),
+                cs(x + 2 * w, y + 2 * h),
+            )
+            cval = c11
+            code = (
+                jnp.where(c00 >= cval, 128, 0)
+                | jnp.where(c10 >= cval, 64, 0)
+                | jnp.where(c20 >= cval, 32, 0)
+                | jnp.where(c21 >= cval, 16, 0)
+                | jnp.where(c22 >= cval, 8, 0)
+                | jnp.where(c12 >= cval, 4, 0)
+                | jnp.where(c02 >= cval, 2, 0)
+                | jnp.where(c01 >= cval, 1, 0)
+            )
+            # subset bit test without gathers: 8 predicated word selects
+            word = jnp.zeros_like(code)
+            wsel = code >> 5
+            for wi in range(8):
+                word = jnp.where(wsel == wi, int(stage.subsets[i, wi]), word)
+            bit = (word >> (code & 31)) & 1
+            acc = acc + jnp.where(
+                bit != 0,
+                np.float64(stage.left_leaf[i]),
+                np.float64(stage.right_leaf[i]),
+            )
+    return acc
+
+
+def dense_walk_visited(m0, row_is_grid, row_step2, row_maxc):
+    """OpenCV's serial x-walk on the dense canvas grid.
+
+    m0          : (H, W) bool — gate-passed & stage0-failed (skip triggers)
+    row_is_grid : (H,) bool — canvas rows that are window grid rows
+    row_step2   : (H,) bool — rows whose level has ystep == 2
+    row_maxc    : (H,) int32 — last valid window column of the row's level
+    returns visited (H, W) bool."""
+    h, w = m0.shape
+    col_ids = jnp.arange(w, dtype=jnp.int32)
+
+    def step(skip, c):
+        on = (
+            row_is_grid
+            & (c <= row_maxc)
+            & ((~row_step2) | ((c & 1) == 0))
+        )
+        visited_c = on & (~skip)
+        new_skip = jnp.where(on, visited_c & m0[:, c], skip)
+        return new_skip, visited_c
+
+    _, cols = jax.lax.scan(step, jnp.zeros(h, bool), col_ids)
+    return cols.T

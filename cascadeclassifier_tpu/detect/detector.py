@@ -1,0 +1,345 @@
+"""TPU-native multi-scale cascade detector.
+
+Re-design of the OpenCV ``cv::CascadeClassifier::detectMultiScale`` pipeline
+(the runtime the reference delegates to — see reference
+tools/detection/Cpp/main.cpp:42-49 and SURVEY §3.2) as one fused XLA
+program per frame geometry:
+
+  stage 0: bit-exact resize of every pyramid level into one integral canvas
+           (detect/pyramid.py)
+  stage 1: per-window variance gate + stage-by-stage masked evaluation over
+           *all* windows of *all* levels at once, with survivor compaction
+           between stages (replaces the branchy per-window early-exit loop)
+  stage 2: OpenCV's sequential x-walk (ystep + skip-after-stage0-reject)
+           replayed as a vectorized scan so the emitted window set matches
+           the reference detector exactly
+  host   : cvRound coordinate mapping + groupRectangles (detect/grouping.py)
+
+Runtime semantics replicated (empirically validated against the C++ oracle):
+  - variance gate: reject window unless nf² > 0 and area/nf < 0.1 (σ > 10)
+  - Haar value = f32(Σ wᵢ·rectsumᵢ) · f32(1/√nf²); split: value < threshold
+  - stage pass: Σ leaves ≥ f32(stageThreshold) − 1e-5
+  - LBP: no gate; categorical split via subset bitmask (bit set → left)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cascadeclassifier_tpu.detect.dense import (
+    dense_stage_haar,
+    dense_stage_lbp,
+    dense_variance_gate,
+    dense_walk_visited,
+)
+from cascadeclassifier_tpu.detect.grouping import group_rectangles
+from cascadeclassifier_tpu.detect.pyramid import PyramidPlan, build_plan
+from cascadeclassifier_tpu.models.model import (
+    FEATURE_HAAR,
+    FEATURE_LBP,
+    CascadeModel,
+)
+
+THRESHOLD_EPS = np.float32(1e-5)
+
+
+# ---------------------------------------------------------------------------
+# model packing
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PackedStage:
+    threshold: np.float32  # effective (xml − 1e-5)
+    ntrees: int
+    # stump fast path (max_nodes == 1)
+    feat_rects: np.ndarray | None  # (T, 3, 4) int32 rect geometry (Haar)
+    weights: np.ndarray | None  # (T, 3) float32
+    tilted: np.ndarray | None  # (T,) bool
+    thr: np.ndarray | None  # (T,) float32 (ordered)
+    subsets: np.ndarray | None  # (T, 8) int32 (categorical stumps)
+    left_leaf: np.ndarray | None  # (T,) float32
+    right_leaf: np.ndarray | None
+    lbp_rects: np.ndarray | None  # (T, 4) int32 (LBP)
+
+
+@dataclasses.dataclass
+class PackedCascade:
+    feature_type: int
+    win_w: int
+    win_h: int
+    stages: list
+    has_tilted: bool
+
+    @classmethod
+    def from_model(cls, m: CascadeModel) -> "PackedCascade":
+        if m.max_tree_nodes() > 1:
+            raise NotImplementedError(
+                "deep-tree detection packing lands with the trainer; "
+                "current detector supports stump cascades "
+                "(all OpenCV-shipped cascades are stumps)"
+            )
+        stages = []
+        for s in m.stages:
+            t = len(s.trees)
+            fr = np.zeros((t, 3, 4), np.int32)
+            w = np.zeros((t, 3), np.float32)
+            tl = np.zeros(t, bool)
+            thr = np.zeros(t, np.float32)
+            subs = np.zeros((t, 8), np.int32)
+            ll = np.zeros(t, np.float32)
+            rl = np.zeros(t, np.float32)
+            lbp = np.zeros((t, 4), np.int32)
+            for i, tree in enumerate(s.trees):
+                f = m.features[int(tree.feature_idx[0])]
+                ll[i] = tree.leaf_values[-int(tree.left[0])]
+                rl[i] = tree.leaf_values[-int(tree.right[0])]
+                if m.feature_type == FEATURE_HAAR:
+                    for ri, (x, y, rw, rh, wt) in enumerate(f.rects):
+                        fr[i, ri] = (x, y, rw, rh)
+                        w[i, ri] = wt
+                    tl[i] = f.tilted
+                    thr[i] = tree.threshold[0]
+                elif m.feature_type == FEATURE_LBP:
+                    lbp[i] = f.rect
+                    subs[i] = tree.subsets[0]
+                else:
+                    raise NotImplementedError("HOG detection: see detect/hog.py")
+            stages.append(
+                PackedStage(
+                    threshold=np.float32(s.threshold) - THRESHOLD_EPS,
+                    ntrees=t,
+                    feat_rects=fr,
+                    weights=w,
+                    tilted=tl,
+                    thr=thr,
+                    subsets=subs,
+                    left_leaf=ll,
+                    right_leaf=rl,
+                    lbp_rects=lbp,
+                )
+            )
+        has_tilted = m.uses_tilted()
+        return cls(
+            feature_type=m.feature_type,
+            win_w=m.width,
+            win_h=m.height,
+            stages=stages,
+            has_tilted=has_tilted,
+        )
+
+
+def plan_tables(plan: PyramidPlan) -> dict:
+    """Device-resident lookup tables for one pyramid plan (passed as jit
+    arguments so XLA does not constant-fold multi-MB plan arrays)."""
+    return dict(
+        sx0=jnp.asarray(plan.sx0, jnp.int32),
+        cx=jnp.asarray(plan.cx, jnp.uint32),
+        sy0=jnp.asarray(plan.sy0),
+        cy=jnp.asarray(plan.cy, jnp.uint32),
+        row_w=jnp.asarray(plan.row_w),
+        is_top=jnp.asarray(plan.is_top),
+        top_of_row=jnp.asarray(plan.top_of_row),
+        row_is_grid=jnp.asarray(plan.row_is_grid),
+        row_step2=jnp.asarray(plan.row_step2),
+        row_maxc=jnp.asarray(plan.row_maxc),
+    )
+
+
+def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool):
+    """u8 frame → (sum_flat int32, sq_flat int64 | None) canvas integrals."""
+    w = img_w
+    src = img.reshape(-1).astype(jnp.uint32)
+    sx0 = tab["sx0"]
+    sx1 = jnp.minimum(sx0 + 1, w - 1)
+    cx = tab["cx"]
+    sy0 = tab["sy0"]
+    sy1 = jnp.minimum(sy0 + 1, img_h - 1)
+    cy = tab["cy"][:, None]
+
+    def row_gather(sy):
+        rowbase = (sy * w)[:, None]
+        v0 = jnp.take(src, rowbase + sx0)
+        v1 = jnp.take(src, rowbase + sx1)
+        return (256 - cx) * v0 + cx * v1
+
+    h0 = row_gather(sy0)
+    h1 = row_gather(sy1)
+    v = (256 - cy) * h0 + cy * h1
+    px = jnp.minimum((v + (1 << 15)) >> 16, 255).astype(jnp.int32)
+
+    colix = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
+    valid = (
+        (colix >= 1)
+        & (colix <= tab["row_w"][:, None])
+        & (~tab["is_top"])[:, None]
+    )
+    px = jnp.where(valid, px, 0)
+
+    top = tab["top_of_row"]
+    # inclusive 2D cumsum; int32 wrap-around is exact after per-block
+    # top-row subtraction (block sums fit int32)
+    c = jnp.cumsum(jnp.cumsum(px, axis=1, dtype=jnp.int32), axis=0, dtype=jnp.int32)
+    sum2d = c - jnp.take(c, top, axis=0)
+
+    sq2d = None
+    if need_sq:
+        with jax.enable_x64(True):
+            sq = (px.astype(jnp.int64)) ** 2
+            csq = jnp.cumsum(jnp.cumsum(sq, axis=1), axis=0)
+            sq2d = csq - jnp.take(csq, top, axis=0)
+    return sum2d, sq2d
+
+
+class TPUDetector:
+    """detectMultiScale-compatible detector running each frame as one fused
+    TPU program over all pyramid levels."""
+
+    def __init__(self, model: CascadeModel):
+        self.model = model
+        self.packed = PackedCascade.from_model(model)
+        self._compiled = {}
+
+    # -- program builders --------------------------------------------------
+    #
+    # The pipeline is split into small jitted programs (canvas+gate, one per
+    # stage, walk+collect) orchestrated from the host: a single fused
+    # program with every tree unrolled exceeds the XLA scheduler's memory
+    # planning at 1080p (tens of GB of live 85MB canvas temps), while
+    # per-stage programs keep the live set to one stage's accumulator chain.
+
+    def _make_canvas_fn(self, plan: PyramidPlan):
+        packed = self.packed
+        is_haar = packed.feature_type == FEATURE_HAAR
+        img_w, img_h = plan.img_w, plan.img_h
+        out_h = plan.canvas_h - packed.win_h
+        out_w = plan.canvas_w - packed.win_w
+
+        def canvas(img, tab):
+            sum2d, sq2d = _build_canvas(img, tab, img_w, img_h, need_sq=is_haar)
+            if is_haar:
+                gate, inv_nf = dense_variance_gate(
+                    sum2d, sq2d, packed.win_w, packed.win_h, out_h, out_w
+                )
+            else:
+                gate = jnp.ones((out_h, out_w), bool)
+                inv_nf = jnp.zeros((out_h, out_w), jnp.float32)
+            return sum2d, gate, inv_nf
+
+        return jax.jit(canvas)
+
+    def _make_stage_fn(self, plan: PyramidPlan, si: int):
+        packed = self.packed
+        is_haar = packed.feature_type == FEATURE_HAAR
+        st = packed.stages[si]
+        out_h = plan.canvas_h - packed.win_h
+        out_w = plan.canvas_w - packed.win_w
+
+        def stage(sum2d, inv_nf, alive):
+            if is_haar:
+                ssum = dense_stage_haar(sum2d, sum2d, st, out_h, out_w, inv_nf)
+            else:
+                ssum = dense_stage_lbp(sum2d, st, out_h, out_w)
+            with jax.enable_x64(True):
+                passed = ssum >= jnp.float64(st.threshold)
+            return alive & passed, passed
+
+        return jax.jit(stage)
+
+    def _make_collect_fn(self, plan: PyramidPlan, max_det: int):
+        out_h = plan.canvas_h - self.packed.win_h
+
+        def collect(alive, m0, tab):
+            visited = dense_walk_visited(
+                m0,
+                tab["row_is_grid"][:out_h],
+                tab["row_step2"][:out_h],
+                tab["row_maxc"][:out_h],
+            )
+            flat = (alive & visited).reshape(-1)
+            count = jnp.sum(flat)
+            idx = jnp.nonzero(flat, size=max_det, fill_value=0)[0]
+            ok = jnp.arange(max_det) < count
+            return idx.astype(jnp.int32), ok, count
+
+        return jax.jit(collect)
+
+    def _get_fns(self, key, plan, max_det):
+        if key not in self._compiled:
+            self._compiled[key] = (
+                self._make_canvas_fn(plan),
+                [
+                    self._make_stage_fn(plan, si)
+                    for si in range(len(self.packed.stages))
+                ],
+                self._make_collect_fn(plan, max_det),
+                plan_tables(plan),
+            )
+        return self._compiled[key]
+
+    # -- public API --------------------------------------------------------
+
+    def detect_multi_scale(
+        self,
+        img: np.ndarray,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 3,
+        min_size=None,
+        max_size=None,
+        max_det: int = 1 << 16,
+    ) -> np.ndarray:
+        """Returns (N, 4) int32 rects (x, y, w, h) in original image coords,
+        matching cv::CascadeClassifier::detectMultiScale semantics."""
+        img = np.ascontiguousarray(img)
+        assert img.ndim == 2 and img.dtype == np.uint8
+        h, w = img.shape
+        plan = build_plan(
+            w,
+            h,
+            self.packed.win_w,
+            self.packed.win_h,
+            scale_factor,
+            tuple(min_size) if min_size else None,
+            tuple(max_size) if max_size else None,
+        )
+        key = (w, h, scale_factor, min_size and tuple(min_size),
+               max_size and tuple(max_size), max_det)
+        canvas_fn, stage_fns, collect_fn, tab = self._get_fns(key, plan, max_det)
+
+        sum2d, gate, inv_nf = canvas_fn(jnp.asarray(img), tab)
+        alive = gate
+        m0 = None
+        for si, sfn in enumerate(stage_fns):
+            alive, passed = sfn(sum2d, inv_nf, alive)
+            if si == 0:
+                m0 = gate & (~passed)
+        idx, ok, count = jax.device_get(collect_fn(alive, m0, tab))
+        if int(count) > max_det:
+            raise RuntimeError(
+                f"{count} raw detections exceed max_det={max_det}; "
+                "pass a larger max_det"
+            )
+        sel = idx[ok]
+        rects = self._positions_to_rects(plan, sel)
+        return group_rectangles(rects, min_neighbors)
+
+    def _positions_to_rects(self, plan: PyramidPlan, sel: np.ndarray):
+        """Map flat dense-grid indices (r·out_w + c) to image-space rects."""
+        if sel.size == 0:
+            return np.zeros((0, 4), np.int32)
+        out_w = plan.canvas_w - plan.win_w
+        r = sel // out_w
+        c = sel % out_w
+        s = plan.row_scale[r]
+        assert (s >= 0).all()
+        y = r - plan.block_top[s]
+        f = plan.scales[s].astype(np.float64)
+        x_img = np.rint(c * f).astype(np.int32)
+        y_img = np.rint(y * f).astype(np.int32)
+        return np.stack([x_img, y_img, plan.box_w[s], plan.box_h[s]], axis=1)

@@ -1,0 +1,107 @@
+"""Exact replication of OpenCV groupRectangles (minNeighbors grouping).
+
+The reference detection samples rely on OpenCV's
+``detectMultiScale(..., minNeighbors)`` post-processing
+(tools/detection/Cpp/main.cpp:45); this module reproduces
+``cv::groupRectangles(rectList, groupThreshold, eps)`` semantics:
+
+  - partition rects into connected components under the SimilarRects
+    predicate (|Δ| ≤ eps · 0.5 · (min(w1,w2) + min(h1,h2)) on all 4 sides)
+  - average each class (cvRound = round-half-even)
+  - keep classes with count > groupThreshold, dropping small clusters
+    contained in bigger ones
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _cv_round(v):
+    return int(np.rint(v))
+
+
+def _similar(r1, r2, eps):
+    delta = eps * (min(r1[2], r2[2]) + min(r1[3], r2[3])) * 0.5
+    return (
+        abs(r1[0] - r2[0]) <= delta
+        and abs(r1[1] - r2[1]) <= delta
+        and abs(r1[0] + r1[2] - r2[0] - r2[2]) <= delta
+        and abs(r1[1] + r1[3] - r2[1] - r2[3]) <= delta
+    )
+
+
+def group_rectangles(rects, group_threshold: int, eps: float = 0.2):
+    """rects: (N, 4) int array-like of (x, y, w, h). Returns (M, 4) int32.
+
+    Matches cv::groupRectangles(objects, minNeighbors, 0.2) as called by
+    detectMultiScale. group_threshold <= 0 returns the input unchanged."""
+    rects = np.asarray(rects, np.int64).reshape(-1, 4)
+    if group_threshold <= 0 or len(rects) == 0:
+        return rects.astype(np.int32)
+
+    n = len(rects)
+    # union-find over the similarity graph (transitive closure, like
+    # cv::partition)
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if _similar(rects[i], rects[j], eps):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+
+    roots = np.array([find(i) for i in range(n)])
+    classes = {}
+    for i, r in enumerate(roots):
+        classes.setdefault(r, []).append(i)
+
+    rrects = []
+    rweights = []
+    for members in classes.values():
+        cnt = len(members)
+        s = 1.0 / cnt
+        acc = rects[members].sum(axis=0)
+        rrects.append(
+            (
+                _cv_round(acc[0] * s),
+                _cv_round(acc[1] * s),
+                _cv_round(acc[2] * s),
+                _cv_round(acc[3] * s),
+            )
+        )
+        rweights.append(cnt)
+
+    out = []
+    nclasses = len(rrects)
+    for i in range(nclasses):
+        r1, n1 = rrects[i], rweights[i]
+        if n1 <= group_threshold:
+            continue
+        contained = False
+        for j in range(nclasses):
+            n2 = rweights[j]
+            if j == i or n2 <= group_threshold:
+                continue
+            r2 = rrects[j]
+            dx = _cv_round(r2[2] * eps)
+            dy = _cv_round(r2[3] * eps)
+            if (
+                r1[0] >= r2[0] - dx
+                and r1[1] >= r2[1] - dy
+                and r1[0] + r1[2] <= r2[0] + r2[2] + dx
+                and r1[1] + r1[3] <= r2[1] + r2[3] + dy
+                and (n2 > max(3, n1) or n1 < 3)
+            ):
+                contained = True
+                break
+        if not contained:
+            out.append(r1)
+    return np.array(out, np.int32).reshape(-1, 4)

@@ -1,0 +1,515 @@
+"""Boosted cascade-stage trainer (DAB / RAB / LB / GAB).
+
+TPU re-design of CvCascadeBoost (boost.cpp:166-518) + CvBoostTree split
+search (o_cvboostree.cpp). The reference scans features one at a time over
+per-feature presorted sample columns; here the whole feature axis is
+processed at once:
+
+  - per stage, feature values for all samples are evaluated block-wise on
+    the MXU (train/evaluators.py) and argsorted once — the values (hence
+    sort orders) are fixed within a stage, only boosting weights change
+  - per weak learner, the exact weighted split objective
+    (lsum²·R + rsum²·L)/(L·R) (find_split_ord_reg,
+    o_cvboostree.cpp:361-426) is a cumulative sum over the sorted axis +
+    argmax — vectorized over every feature simultaneously
+  - the categorical (LBP) path reproduces find_split_cat_reg
+    (o_cvboostree.cpp:428-516): 256-bin weighted sums, sort categories by
+    mean response, greedy prefix scan, subset bitmask
+  - boosting state (weights, trimming, stage threshold search) runs on the
+    host in float64, mirroring update_weights (boost.cpp:168-407),
+    trim_weights (o_cvboost.cpp:101-139) and isErrDesired
+    (boost.cpp:479-518)
+
+Weak trees support max_depth > 1 via recursive masked splits (node masks
+replace the reference's index-partitioning split_node_data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cascadeclassifier_tpu.models.model import (
+    BOOST_DAB,
+    BOOST_GAB,
+    BOOST_LB,
+    BOOST_RAB,
+    Stage,
+    WeakTree,
+)
+
+FLT_EPSILON = np.float32(1.1920929e-07)
+DBL_EPSILON = 2.220446049250313e-16
+CV_THRESHOLD_EPS = 1e-5
+LB_Z_MAX = 10.0
+LB_WEIGHT_THRESH = FLT_EPSILON
+
+
+def _log_ratio(p):
+    eps = 1e-5
+    p = min(max(p, eps), 1.0 - eps)
+    return math.log(p / (1.0 - p))
+
+
+# ---------------------------------------------------------------------------
+# jitted split searches
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _ordered_split_block(values, sort_idx, w, resp, mask):
+    """Best weighted regression split per feature.
+
+    values  : (B, N) f32 feature responses
+    sort_idx: (B, N) i32 per-feature ascending sample order
+    w       : (N,) f64 boosting weights
+    resp    : (N,) f64 regression targets
+    mask    : (N,) bool subsample mask (weight trimming)
+    returns (quality (B,) f64, thr (B,) f32) — quality −inf if no split.
+
+    Replicates find_split_ord_reg (o_cvboostree.cpp:361-426): split allowed
+    between adjacent in-subsample samples whose values differ by more than
+    2·FLT_EPSILON; threshold is their midpoint.
+    """
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        rm = wm * resp
+        vs = jnp.take_along_axis(values, sort_idx, axis=1)
+        ws = wm[sort_idx]
+        rs = rm[sort_idx]
+        kept = mask[sort_idx]
+
+        total_w = jnp.sum(wm)
+        total_r = jnp.sum(rm)
+        lw = jnp.cumsum(ws, axis=1)
+        lr = jnp.cumsum(rs, axis=1)
+        rw = total_w - lw
+        rr = total_r - lr
+
+        # next in-subsample value after position i (suffix min of +inf-masked
+        # values works because the array is sorted ascending)
+        vk = jnp.where(kept, vs, jnp.inf)
+        nxt = jnp.flip(
+            jax.lax.cummin(jnp.flip(vk, axis=1), axis=1), axis=1
+        )
+        nxt = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((vs.shape[0], 1), jnp.inf)], axis=1
+        )
+
+        valid = kept & (vs + 2 * FLT_EPSILON < nxt) & jnp.isfinite(nxt)
+        qual = (lr * lr * rw + rr * rr * lw) / (lw * rw)
+        qual = jnp.where(valid & (lw > 0) & (rw > 0), qual, -jnp.inf)
+
+        # first-max argmax without jnp.argmax (which mis-lowers inside a
+        # trace-time x64 scope): min position where qual equals the row max
+        bq = jnp.max(qual, axis=1)
+        posn = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
+        best = jnp.min(
+            jnp.where(qual == bq[:, None], posn, qual.shape[1]), axis=1
+        )
+        best = jnp.minimum(best, qual.shape[1] - 1)
+        bv = jnp.take_along_axis(vs, best[:, None], axis=1)[:, 0]
+        bn = jnp.take_along_axis(nxt, best[:, None], axis=1)[:, 0]
+        thr = ((bv + bn.astype(jnp.float64)) * 0.5).astype(jnp.float32)
+        # reference computes the midpoint in float32
+        thr2 = (
+            bv.astype(jnp.float32) + bn.astype(jnp.float32)
+        ) * np.float32(0.5)
+        return bq, thr2
+
+
+@jax.jit
+def _categorical_split_block(codes, w, resp, mask):
+    """Best weighted regression split over 256 categories per feature.
+
+    codes: (B, N) int32 in [0, 256). Replicates find_split_cat_reg
+    (o_cvboostree.cpp:428-516). Returns (quality (B,) f64, subset (B, 8) i32).
+    """
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        rm = wm * resp
+        b, n = codes.shape
+
+        def per_cat(c, _):
+            sel = codes == c
+            cnt = jnp.sum(jnp.where(sel, wm[None, :], 0.0), axis=1)
+            sm = jnp.sum(jnp.where(sel, rm[None, :], 0.0), axis=1)
+            return c + 1, (cnt, sm)
+
+        _, (cnts, sums) = jax.lax.scan(
+            per_cat, 0, None, length=256
+        )  # (256, B)
+        cnts = cnts.T  # (B, 256)
+        sums = sums.T
+
+        means = jnp.where(jnp.abs(cnts) > DBL_EPSILON, sums / cnts, 0.0)
+        order = jnp.argsort(means, axis=1, stable=True)  # (B, 256)
+        cnt_s = jnp.take_along_axis(cnts, order, axis=1)
+        sum_s = jnp.take_along_axis(means * cnts, order, axis=1)
+
+        total_w = jnp.sum(cnts, axis=1, keepdims=True)
+        total_r = jnp.sum(sums, axis=1, keepdims=True)
+        lw = jnp.cumsum(cnt_s, axis=1)
+        lr = jnp.cumsum(sum_s, axis=1)
+        rw = total_w - lw
+        rr = total_r - lr
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, 256), 1)
+        valid = (
+            (cnt_s > FLT_EPSILON)
+            & (lw > FLT_EPSILON)
+            & (rw > FLT_EPSILON)
+            & (pos < 255)  # loop runs subset_i < mi − 1
+        )
+        qual = (lr * lr * rw + rr * rr * lw) / (lw * rw)
+        qual = jnp.where(valid, qual, -jnp.inf)
+
+        bq = jnp.max(qual, axis=1)
+        best = jnp.min(
+            jnp.where(qual == bq[:, None], pos, 256), axis=1
+        )
+        best = jnp.minimum(best, 255)
+
+        incl = pos <= best[:, None]  # categories (sorted order) in subset
+        # scatter back to original category ids → 8×32-bit mask
+        cat_in = jnp.zeros((b, 256), bool)
+        cat_in = jnp.take_along_axis(
+            incl, jnp.argsort(order, axis=1), axis=1
+        )
+        bits = cat_in.reshape(b, 8, 32)
+        weights32 = (1 << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
+        subset = jnp.sum(
+            jnp.where(bits, weights32[None, None, :], 0).astype(jnp.uint32),
+            axis=2,
+            dtype=jnp.uint32,
+        ).astype(jnp.int32)
+        return bq, subset
+
+
+@jax.jit
+def _node_value(w, resp, mask):
+    """Weighted mean response over the node (calc_node_value regression
+    branch, o_cvboostree.cpp:699-727)."""
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        sw = jnp.sum(wm)
+        return jnp.sum(wm * resp) / sw
+
+
+# ---------------------------------------------------------------------------
+# stage trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BoostParams:
+    boost_type: int = BOOST_GAB
+    min_hit_rate: float = 0.995
+    max_false_alarm: float = 0.5
+    weight_trim_rate: float = 0.95
+    max_depth: int = 1
+    weak_count: int = 100
+    min_sample_count: int = 10
+
+
+class FeatureCache:
+    """Per-stage cache of feature values (+ sort orders for ordered
+    families) over the current sample set — the TPU analogue of the
+    reference's valCache / sorted-index buf
+    (o_cvcascadeboosttraindata.cpp:246-273)."""
+
+    def __init__(self, evaluator, categorical: bool):
+        self.ev = evaluator
+        self.categorical = categorical
+        self.values = []
+        self.sort_idx = []
+        for b in range(evaluator.num_blocks()):
+            v = evaluator.values_block(b)
+            if categorical:
+                self.values.append(v)
+            else:
+                self.values.append(v)
+                self.sort_idx.append(
+                    jnp.argsort(v, axis=1).astype(jnp.int32)
+                )
+
+    def var_base(self, b):
+        return self.ev.block_slice(b)[0]
+
+
+class StageTrainer:
+    """Trains one boosted stage; mirrors CvCascadeBoost::train
+    (boost.cpp:409-459)."""
+
+    def __init__(self, evaluator, params: BoostParams):
+        self.ev = evaluator
+        self.params = params
+        self.categorical = evaluator.maxCatCount > 0
+
+    # -- weak-tree construction --------------------------------------------
+
+    def _find_best_split(self, cache, w, resp, mask):
+        """Global best split across every feature. Returns
+        (var_idx, quality, thr_or_subset) or None."""
+        best_q = -np.inf
+        best = None
+        wj = jnp.asarray(w)
+        rj = jnp.asarray(resp)
+        mj = jnp.asarray(mask)
+        for b in range(len(cache.values)):
+            if self.categorical:
+                q, subset = _categorical_split_block(
+                    cache.values[b], wj, rj, mj
+                )
+                q = np.asarray(q)
+                i = int(np.argmax(q))
+                if q[i] > best_q:
+                    best_q = float(q[i])
+                    best = (
+                        cache.var_base(b) + i,
+                        np.asarray(subset[i]),
+                    )
+            else:
+                q, thr = _ordered_split_block(
+                    cache.values[b], cache.sort_idx[b], wj, rj, mj
+                )
+                q = np.asarray(q)
+                i = int(np.argmax(q))
+                if q[i] > best_q:
+                    best_q = float(q[i])
+                    best = (cache.var_base(b) + i, np.float32(thr[i]))
+        if best is None or not np.isfinite(best_q):
+            return None
+        return best
+
+    def _values_of_var(self, cache, var_idx: int):
+        b = var_idx // self.ev.block_size
+        off = var_idx - cache.var_base(b)
+        return np.asarray(cache.values[b][off])
+
+    def _train_tree(self, cache, w, resp, mask):
+        """Grow one weak tree (depth-limited recursive masked splits).
+
+        Returns (WeakTree, per-sample predictions over ALL samples)."""
+        n = w.shape[0]
+        p = self.params
+
+        nodes = []  # (left, right, var, thr_or_subset)
+        leaves = []
+
+        def leaf_value(node_mask):
+            v = float(
+                _node_value(jnp.asarray(w), jnp.asarray(resp), jnp.asarray(node_mask))
+            )
+            leaves.append(np.float32(v))
+            return -(len(leaves) - 1)
+
+        def grow(node_mask, depth):
+            count = int(node_mask.sum())
+            if depth >= p.max_depth or count <= p.min_sample_count:
+                return leaf_value(node_mask)
+            split = self._find_best_split(cache, w, resp, node_mask)
+            if split is None:
+                return leaf_value(node_mask)
+            var_idx, thr = split
+            vals = self._values_of_var(cache, var_idx)
+            if self.categorical:
+                code = vals.astype(np.int64)
+                bit = (
+                    np.asarray(thr, np.uint32)[code >> 5] >> (code & 31)
+                ) & 1
+                go_left = bit != 0
+            else:
+                go_left = vals <= thr
+            lmask = node_mask & go_left
+            rmask = node_mask & ~go_left
+            if lmask.sum() == 0 or rmask.sum() == 0:
+                return leaf_value(node_mask)
+            me = len(nodes)
+            nodes.append([0, 0, var_idx, thr])
+            nodes[me][0] = grow(lmask, depth + 1)
+            nodes[me][1] = grow(rmask, depth + 1)
+            return me
+
+        root = grow(mask.copy(), 0)
+        if root < 0:
+            # degenerate: single leaf — encode as a stump that always routes
+            # to the same value (reference fails tree training instead;
+            # callers treat quality None upstream)
+            return None, None
+
+        k = len(nodes)
+        tree = WeakTree(
+            left=np.array([nd[0] for nd in nodes], np.int32),
+            right=np.array([nd[1] for nd in nodes], np.int32),
+            feature_idx=np.array([nd[2] for nd in nodes], np.int32),
+            threshold=(
+                None
+                if self.categorical
+                else np.array([nd[3] for nd in nodes], np.float32)
+            ),
+            subsets=(
+                np.stack([np.asarray(nd[3], np.int32) for nd in nodes])
+                if self.categorical
+                else None
+            ),
+            leaf_values=np.array(leaves, np.float32),
+        )
+        preds = self._predict_tree(tree, cache, n)
+        return tree, preds
+
+    def _predict_tree(self, tree, cache, n):
+        """Leaf value of every sample (predict semantics of
+        o_cvcascadeboosttree.cpp:16-39)."""
+        out = np.zeros(n, np.float64)
+        node = np.zeros(n, np.int32)
+        active = np.ones(n, bool)
+        # iterative walk: at most num_nodes levels
+        for _ in range(tree.num_nodes + 1):
+            if not active.any():
+                break
+            for ni in np.unique(node[active]):
+                sel = active & (node == ni)
+                var = int(tree.feature_idx[ni])
+                vals = self._values_of_var(cache, var)[sel]
+                if self.categorical:
+                    code = vals.astype(np.int64)
+                    bit = (
+                        tree.subsets[ni].astype(np.uint32)[code >> 5]
+                        >> (code & 31)
+                    ) & 1
+                    go_left = bit != 0
+                else:
+                    go_left = vals <= tree.threshold[ni]
+                child = np.where(go_left, tree.left[ni], tree.right[ni])
+                idx = np.nonzero(sel)[0]
+                is_leaf = child <= 0
+                out[idx[is_leaf]] = tree.leaf_values[-child[is_leaf]]
+                active[idx[is_leaf]] = False
+                node[idx[~is_leaf]] = child[~is_leaf]
+        return out
+
+    # -- boosting loop ------------------------------------------------------
+
+    def train(self, labels: np.ndarray, valid: np.ndarray | None = None,
+              verbose=True):
+        """labels: (N,) {0,1}. The evaluator must already hold the samples.
+        ``valid`` marks real samples when the batch is padded to a bucketed
+        shape (padding gets zero weight and never enters any statistic).
+        Returns (Stage, per-sample raw sums) or None if no tree trained."""
+        p = self.params
+        n = labels.shape[0]
+        if valid is None:
+            valid = np.ones(n, bool)
+        n_real = int(valid.sum())
+        cache = FeatureCache(self.ev, self.categorical)
+
+        orig = labels.astype(np.int32) * 2 - 1  # {−1, +1}
+        w = np.where(valid, 1.0 / n_real, 0.0)
+        mask = valid.copy()
+        if p.boost_type == BOOST_LB:
+            sum_response = np.zeros(n, np.float64)
+            resp = np.where(orig > 0, 2.0, -2.0)
+        elif p.boost_type == BOOST_GAB:
+            resp = orig.astype(np.float64)
+        else:
+            resp = orig.astype(np.float64)  # ±1 targets for DAB/RAB too
+
+        trees = []
+        stage_sums = np.zeros(n, np.float64)
+        threshold = 0.0
+        num_pos = int(((labels == 1) & valid).sum())
+        num_neg = n_real - num_pos
+
+        if verbose:
+            print("+----+---------+---------+")
+            print("|  N |    HR   |    FA   |")
+            print("+----+---------+---------+")
+
+        while True:
+            tree, preds = self._train_tree(cache, w, resp, mask)
+            if tree is None:
+                break
+
+            # update_weights(tree) — boost.cpp:267-407
+            if p.boost_type == BOOST_DAB:
+                sw = w.sum()
+                err = float(np.sum(w * (np.sign(preds) != orig))) / max(sw, 1e-300)
+                c = -_log_ratio(err)
+                scale = np.where(
+                    np.isclose(preds, orig), 1.0, math.exp(-(-c))
+                )
+                # DAB trees predict class values ±1 directly; preds here are
+                # leaf values (±1 after scaling). w *= exp(C·(f≠y))
+                wrong = preds != orig
+                w = w * np.where(wrong, math.exp(c), 1.0)
+                tree.leaf_values = (tree.leaf_values * np.float32(c)).astype(
+                    np.float32
+                )
+                preds = preds * c
+            elif p.boost_type == BOOST_RAB:
+                w = w * np.exp(-orig * preds)
+            elif p.boost_type == BOOST_LB:
+                sum_response = sum_response + 0.5 * preds
+                prob = 1.0 / (1.0 + np.exp(-2.0 * sum_response))
+                w = np.maximum(prob * (1.0 - prob), float(LB_WEIGHT_THRESH))
+                z = np.where(
+                    orig > 0,
+                    np.minimum(1.0 / np.maximum(prob, 1e-300), LB_Z_MAX),
+                    -np.minimum(1.0 / np.maximum(1.0 - prob, 1e-300), LB_Z_MAX),
+                )
+                resp = z
+            else:  # GENTLE
+                w = w * np.exp(-orig * preds)
+
+            sw = w.sum()
+            if sw > float(FLT_EPSILON):
+                w = w / sw
+
+            # trim_weights (o_cvboost.cpp:101-139); the reference sorts all
+            # sample weights — padding has weight 0 and sits at the front of
+            # the sorted array without consuming trim budget
+            if 0.0 < p.weight_trim_rate < 1.0:
+                ws = np.sort(w[valid])
+                csum = np.concatenate([[0.0], np.cumsum(ws)])
+                i = int(np.searchsorted(csum[1:], 1.0 - p.weight_trim_rate))
+                thr_w = ws[i] if i < n_real else np.inf
+                mask = valid & (w >= thr_w)
+            trees.append(tree)
+            stage_sums = stage_sums + preds
+
+            # isErrDesired (boost.cpp:479-518)
+            pos_sums = np.sort(stage_sums[(labels == 1) & valid])
+            t_idx = int((1.0 - p.min_hit_rate) * num_pos)
+            threshold = float(pos_sums[t_idx])
+            num_pos_true = num_pos - t_idx
+            for i in range(t_idx - 1, -1, -1):
+                if abs(pos_sums[i] - threshold) < float(FLT_EPSILON):
+                    num_pos_true += 1
+            hit_rate = num_pos_true / max(num_pos, 1)
+            neg_sums = stage_sums[(labels == 0) & valid]
+            accepted = neg_sums >= threshold - CV_THRESHOLD_EPS
+            false_alarm = (
+                float(accepted.sum()) / num_neg if num_neg else 0.0
+            )
+            if verbose:
+                print(
+                    f"|{len(trees):>4}|{hit_rate:>9.6g}|{false_alarm:>9.6g}|"
+                )
+                print("+----+---------+---------+")
+
+            if not mask.any():
+                break
+            if false_alarm <= p.max_false_alarm:
+                break
+            if len(trees) >= p.weak_count:
+                break
+
+        if not trees:
+            return None, None
+        return Stage(threshold=threshold, trees=trees), stage_sums

@@ -8,13 +8,19 @@ separately by bench.py / __graft_entry__.py.
 import os
 import subprocess
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax is imported anywhere. NOTE: in the axon TPU image
+# JAX_PLATFORMS is ignored (the TPU plugin wins); JAX_PLATFORM_NAME and
+# jax.config both work — use both, belt and braces.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

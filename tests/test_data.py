@@ -1,0 +1,94 @@
+"""Sample I/O: .vec round-trip vs reference fixture, negative-miner schedule."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cascadeclassifier_tpu.data.negreader import NegReader, read_bg_list
+from cascadeclassifier_tpu.data.vec import PosReader, VecError, read_vec, write_vec
+
+REF_RES = "/root/reference/traincascade/res"
+fixtures = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_RES, "barcode.vec")),
+    reason="reference fixtures not mounted",
+)
+
+
+@fixtures
+def test_read_reference_vec():
+    v = read_vec(os.path.join(REF_RES, "barcode.vec"), 75, 32)
+    assert v.shape == (100, 32, 75)
+    assert v.dtype == np.uint8
+    assert v.max() > 0
+
+
+def test_vec_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 256, (7, 24, 24)).astype(np.uint8)
+    p = str(tmp_path / "t.vec")
+    write_vec(p, s)
+    np.testing.assert_array_equal(read_vec(p, 24, 24), s)
+
+
+def test_pos_reader_semantics(tmp_path):
+    s = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    p = str(tmp_path / "t.vec")
+    write_vec(p, s)
+    r = PosReader(p, 4, 4)
+    np.testing.assert_array_equal(r.get(), s[0])
+    np.testing.assert_array_equal(r.take(2), s[1:])
+    with pytest.raises(VecError):
+        r.get()
+    r.restart()
+    np.testing.assert_array_equal(r.get(), s[0])
+
+
+def test_bg_list_parsing(tmp_path):
+    p = str(tmp_path / "bg.txt")
+    with open(p, "w") as f:
+        f.write("# comment\nimg1.png\nimg2.png\n\nimg_after_blank.png\n")
+    # reference semantics: empty line terminates (imagestorage.cpp:46)
+    assert read_bg_list(p) == ["img1.png", "img2.png"]
+
+
+@fixtures
+def test_negreader_schedule_deterministic(tmp_path):
+    bg = str(tmp_path / "bg.txt")
+    with open(bg, "w") as f:
+        f.write(os.path.join(REF_RES, "bg.png") + "\n")
+    r1 = NegReader(bg, 24, 24)
+    b1 = r1.take_batch(50)
+    r2 = NegReader(bg, 24, 24)
+    b2 = r2.take_batch(50)
+    assert b1.shape == (50, 24, 24)
+    np.testing.assert_array_equal(b1, b2)
+    # windows must not all be equal (the schedule moves)
+    assert not np.array_equal(b1[0], b1[1])
+
+
+@fixtures
+def test_negreader_windows_match_reference_library(tmp_path):
+    """Byte-exact window stream vs the reference NegReader (golden oracle
+    linking the reference library; see oracle/dump_negreader.cpp)."""
+    import subprocess
+
+    oracle = "/root/repo/oracle/dump_negreader"
+    if not os.path.exists(oracle):
+        r = subprocess.run(
+            ["make", "-C", "/root/repo/oracle", "dump_negreader"],
+            capture_output=True,
+        )
+        if not os.path.exists(oracle):
+            pytest.skip("negreader oracle not buildable")
+    bg = str(tmp_path / "bg.txt")
+    with open(bg, "w") as f:
+        f.write(os.path.join(REF_RES, "bg.png") + "\n")
+    out = subprocess.run(
+        [oracle, bg, "24", "24", "150"], capture_output=True, text=True
+    ).stdout.split()
+    if "END" in out:
+        out = out[: out.index("END")]
+    ref = np.array(out, np.int32).reshape(-1, 24, 24)
+    mine = NegReader(bg, 24, 24).take_batch(150)[: len(ref)]
+    np.testing.assert_array_equal(mine.astype(np.int32), ref)

@@ -1,0 +1,110 @@
+"""TPU detector vs the independent OpenCV C++ runtime (parity oracle).
+
+The reference's detection path is OpenCV's detectMultiScale
+(tools/detection/Cpp/main.cpp:42-49); these tests assert raw-window and
+grouped-detection parity of our fused TPU pipeline against it."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from cascadeclassifier_tpu.detect.detector import TPUDetector
+from cascadeclassifier_tpu.detect.grouping import group_rectangles
+from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+
+from .utils_synth import face_blob_image
+
+HAAR_ALT = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
+LBP_FRONTAL = "/usr/share/opencv4/lbpcascades/lbpcascade_frontalface.xml"
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _oracle(oracle_bin, xml, img, tmp_path, sf="1.1", mn="0"):
+    p = str(tmp_path / "oracle_img.png")
+    cv2.imwrite(p, img)
+    r = subprocess.run(
+        [oracle_bin, xml, p, sf, mn], capture_output=True, text=True
+    )
+    assert "LOADED" in r.stdout
+    return sorted(
+        tuple(map(int, l.split())) for l in r.stdout.splitlines()[1:]
+    )
+
+
+@pytest.fixture(scope="module")
+def face_img():
+    return face_blob_image(320, 240, n=8, seed=3)
+
+
+def test_haar_raw_window_parity(oracle_bin, tmp_path, face_img):
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m)
+    ours = sorted(map(tuple, det.detect_multi_scale(face_img, 1.1, 0)))
+    ref = _oracle(oracle_bin, HAAR_ALT, face_img, tmp_path)
+    assert ours == ref
+
+
+def test_haar_grouped_parity(oracle_bin, tmp_path, face_img):
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m)
+    ours = sorted(map(tuple, det.detect_multi_scale(face_img, 1.1, 2)))
+    ref = _oracle(oracle_bin, HAAR_ALT, face_img, tmp_path, mn="2")
+    assert ours == ref
+
+
+def test_haar_parity_random_textures(oracle_bin, tmp_path):
+    """Random blurred textures exercise knife-edge windows."""
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (200, 260)).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (7, 7), 2.0)
+    ours = sorted(map(tuple, det.detect_multi_scale(img, 1.2, 0)))
+    ref = _oracle(oracle_bin, HAAR_ALT, img, tmp_path, sf="1.2")
+    assert ours == ref
+
+
+def test_lbp_raw_window_parity(oracle_bin, tmp_path, face_img):
+    m = read_cascade_xml(LBP_FRONTAL)
+    det = TPUDetector(m)
+    ours = sorted(map(tuple, det.detect_multi_scale(face_img, 1.1, 0)))
+    ref = _oracle(oracle_bin, LBP_FRONTAL, face_img, tmp_path)
+    assert ours == ref
+
+
+def test_variance_gate_rejects_flat_regions():
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m)
+    flat = np.full((100, 120), 90, np.uint8)
+    assert len(det.detect_multi_scale(flat, 1.1, 0)) == 0
+
+
+def test_min_size_filter(oracle_bin, tmp_path, face_img):
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m)
+    ours = sorted(
+        map(tuple, det.detect_multi_scale(face_img, 1.1, 0, min_size=(40, 40)))
+    )
+    p = str(tmp_path / "oracle_img.png")
+    cv2.imwrite(p, face_img)
+    r = subprocess.run(
+        [oracle_bin, HAAR_ALT, p, "1.1", "0", "40", "40"],
+        capture_output=True,
+        text=True,
+    )
+    ref = sorted(tuple(map(int, l.split())) for l in r.stdout.splitlines()[1:])
+    assert ours == ref
+
+
+def test_group_rectangles_semantics():
+    # three nearly identical rects + one outlier; threshold 2 keeps the
+    # averaged cluster only
+    rects = [(10, 10, 50, 50), (12, 11, 50, 50), (9, 10, 51, 50), (200, 200, 40, 40)]
+    out = group_rectangles(rects, 2)
+    assert out.shape == (1, 4)
+    assert abs(out[0][0] - 10) <= 1 and abs(out[0][2] - 50) <= 1
+    # threshold 0 → unchanged
+    out0 = group_rectangles(rects, 0)
+    assert len(out0) == 4
