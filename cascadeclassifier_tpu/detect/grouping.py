@@ -31,14 +31,55 @@ def _similar(r1, r2, eps):
     )
 
 
+def _native_group(rects, group_threshold, eps):
+    """Dispatch to the C++ grouping (csrc/) when available; None otherwise."""
+    try:
+        import ctypes
+
+        from cascadeclassifier_tpu.data.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        if not hasattr(lib, "_group_ready"):
+            lib.cctpu_group_rectangles.restype = ctypes.c_int
+            lib.cctpu_group_rectangles.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib._group_ready = True
+        rin = np.ascontiguousarray(rects, np.int32)
+        out = np.empty_like(rin)
+        m = lib.cctpu_group_rectangles(
+            rin.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(rin),
+            group_threshold,
+            eps,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out[:m].copy()
+    except Exception:
+        return None
+
+
 def group_rectangles(rects, group_threshold: int, eps: float = 0.2):
     """rects: (N, 4) int array-like of (x, y, w, h). Returns (M, 4) int32.
 
     Matches cv::groupRectangles(objects, minNeighbors, 0.2) as called by
-    detectMultiScale. group_threshold <= 0 returns the input unchanged."""
+    detectMultiScale. group_threshold <= 0 returns the input unchanged.
+    Dispatches to the native C++ implementation (csrc/) for large inputs;
+    the Python union-find below is the portable reference."""
     rects = np.asarray(rects, np.int64).reshape(-1, 4)
     if group_threshold <= 0 or len(rects) == 0:
         return rects.astype(np.int32)
+
+    if len(rects) > 512:
+        nat = _native_group(rects, group_threshold, eps)
+        if nat is not None:
+            return nat
 
     n = len(rects)
     # union-find over the similarity graph (transitive closure, like

@@ -28,9 +28,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cascadeclassifier_tpu.train.boost import (
-    FLT_EPSILON,
-)
+from cascadeclassifier_tpu.train.boost import FLT_EPSILON, as_f64  # noqa: F401
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "feat") -> Mesh:
@@ -115,14 +113,23 @@ def sharded_ordered_best_split(mesh: Mesh, axis: str = "feat"):
         sel = jnp.argmin(jnp.where(vs_ == gbest, 0, 1))
         return qmax, gbest, ts[sel]
 
-    fn = shard_map(
-        inner,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_rep=False,
+    fn = jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
     )
-    return jax.jit(fn)
+
+    def call(values, sort_idx, w, resp, mask):
+        # keep float64 w/resp across the jit boundary (canonicalization
+        # would truncate them under the global 32-bit default)
+        with jax.enable_x64(True):
+            return fn(values, sort_idx, w, resp, mask)
+
+    return call
 
 
 def sharded_batch_eval(mesh: Mesh, axis: str = "data"):

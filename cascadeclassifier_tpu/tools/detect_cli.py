@@ -1,0 +1,57 @@
+"""Native detection CLI — the framework's own detectMultiScale front end.
+
+Replaces the reference detection samples (tools/detection/Cpp/main.cpp,
+Python/detect.py), which delegate to OpenCV's runtime; here the TPU
+detector runs the cascade itself. Defaults match the reference sample
+(scaleFactor=4, minNeighbors=50 — main.cpp:45)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpu-detect")
+    p.add_argument("cascade", help="cascade.xml")
+    p.add_argument("image", help="input image")
+    p.add_argument("--scale-factor", type=float, default=4.0)
+    p.add_argument("--min-neighbors", type=int, default=50)
+    p.add_argument("--min-size", type=int, nargs=2, default=None)
+    p.add_argument("--max-size", type=int, nargs=2, default=None)
+    p.add_argument("-o", "--output", default=None,
+                   help="write annotated image here")
+    args = p.parse_args(argv)
+
+    import cv2
+
+    from cascadeclassifier_tpu.detect.detector import TPUDetector
+    from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+
+    img = cv2.imread(args.image, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        print(f"cannot read {args.image}", file=sys.stderr)
+        return 1
+    det = TPUDetector(read_cascade_xml(args.cascade))
+    rects = det.detect_multi_scale(
+        img,
+        scale_factor=args.scale_factor,
+        min_neighbors=args.min_neighbors,
+        min_size=args.min_size,
+        max_size=args.max_size,
+    )
+    for (x, y, w, h) in rects:
+        print(f"{x} {y} {w} {h}")
+    if args.output:
+        vis = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        for (x, y, w, h) in rects:
+            cv2.rectangle(vis, (int(x), int(y)), (int(x + w), int(y + h)),
+                          (0, 0, 255), 2)
+        cv2.imwrite(args.output, vis)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

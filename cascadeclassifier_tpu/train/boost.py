@@ -50,6 +50,13 @@ LB_Z_MAX = 10.0
 LB_WEIGHT_THRESH = FLT_EPSILON
 
 
+def as_f64(x):
+    """Create a true float64 device array under JAX's 32-bit default mode
+    (plain jnp.asarray would silently downcast outside an x64 scope)."""
+    with jax.enable_x64(True):
+        return jnp.asarray(np.asarray(x, np.float64))
+
+
 def _log_ratio(p):
     eps = 1e-5
     p = min(max(p, eps), 1.0 - eps)
@@ -258,8 +265,8 @@ class StageTrainer:
         (var_idx, quality, thr_or_subset) or None."""
         best_q = -np.inf
         best = None
-        wj = jnp.asarray(w)
-        rj = jnp.asarray(resp)
+        wj = as_f64(w)
+        rj = as_f64(resp)
         mj = jnp.asarray(mask)
         for b in range(len(cache.values)):
             if self.categorical:
@@ -304,7 +311,7 @@ class StageTrainer:
 
         def leaf_value(node_mask):
             v = float(
-                _node_value(jnp.asarray(w), jnp.asarray(resp), jnp.asarray(node_mask))
+                _node_value(as_f64(w), as_f64(resp), jnp.asarray(node_mask))
             )
             leaves.append(np.float32(v))
             return -(len(leaves) - 1)

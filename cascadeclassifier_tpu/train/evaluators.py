@@ -19,6 +19,8 @@ axis (features across devices).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -38,6 +40,72 @@ from cascadeclassifier_tpu.ops.integral import (
 )
 
 _MM_PREC = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _haar_eval_program(rows, cols, vals, sum_rows, nf, p):
+    """One fused program: scatter-build corner matrix → MXU matmul →
+    normalize. Keeps remote-compile count at one per block shape."""
+    m = (
+        jnp.zeros((rows.shape[0] // 12, p), jnp.float32)
+        .at[rows, cols]
+        .add(vals)
+    )
+    raw = jnp.dot(m, sum_rows.T, precision=_MM_PREC)
+    nfb = nf[None, :]
+    return jnp.where(nfb != 0.0, raw / jnp.where(nfb == 0.0, 1.0, nfb), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _rect_eval_program(rows, cols, sign, sum_rows, p):
+    """Scatter-build ±1 rect incidence matrix → matmul → (R, N) rect sums."""
+    m = (
+        jnp.zeros((rows.shape[0] // 4, p), jnp.float32)
+        .at[rows, cols]
+        .add(sign)
+    )
+    return jnp.dot(m, sum_rows.T, precision=_MM_PREC)
+
+
+@jax.jit
+def _lbp_codes_program(cs):
+    """(B, 3, 3, N) cell sums → (B, N) LBP codes (lbpfeatures.h:70-83)."""
+    cval = cs[:, 1, 1]
+    return (
+        jnp.where(cs[:, 0, 0] >= cval, 128, 0)
+        | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
+        | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
+        | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
+        | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
+        | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
+        | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
+        | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
+    ).astype(jnp.int32)
+
+
+def _haar_scatter_args(offsets, weights):
+    b = offsets.shape[0]
+    sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+    rows = np.repeat(np.arange(b), 12)
+    cols = offsets.reshape(b, 12).ravel()
+    vals = (weights[:, :, None] * sign[None, None, :]).reshape(-1)
+    return (
+        jnp.asarray(rows),
+        jnp.asarray(cols.astype(np.int32)),
+        jnp.asarray(vals.astype(np.float32)),
+    )
+
+
+def _rect_scatter_args(rect_offsets):
+    r = rect_offsets.shape[0]
+    sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+    rows = np.repeat(np.arange(r), 4)
+    return (
+        jnp.asarray(rows),
+        jnp.asarray(rect_offsets.reshape(-1).astype(np.int32)),
+        jnp.asarray(np.tile(sign, r)),
+    )
+
 
 
 def _corner_matrix(offsets: np.ndarray, weights: np.ndarray, p: int):
@@ -112,50 +180,40 @@ class HaarTrainEvaluator:
         lo = b * self.block_size
         return lo, min(lo + self.block_size, self.num_features)
 
+    def _eval_features(self, ids_or_slice):
+        off = self._offsets[ids_or_slice]
+        w = self._weights[ids_or_slice]
+        til = self._tilted[ids_or_slice]
+        if til.any():
+            r1, c1, v1 = _haar_scatter_args(
+                off * (~til[:, None, None]), w * (~til[:, None])
+            )
+            up = _haar_eval_program(r1, c1, v1, self.sum_rows,
+                                    jnp.ones_like(self.nf), self.p)
+            r2, c2, v2 = _haar_scatter_args(
+                off * til[:, None, None], w * til[:, None]
+            )
+            ti = _haar_eval_program(r2, c2, v2, self.tilt_rows,
+                                    jnp.ones_like(self.nf), self.p)
+            raw = up + ti
+            nf = self.nf[None, :]
+            return jnp.where(
+                nf != 0.0, raw / jnp.where(nf == 0.0, 1.0, nf), 0.0
+            )
+        rows, cols, vals = _haar_scatter_args(off, w)
+        return _haar_eval_program(
+            rows, cols, vals, self.sum_rows, self.nf, self.p
+        )
+
     def values_block(self, b: int) -> jax.Array:
         """(B, N) f32 responses of feature block b on the cached samples."""
         lo, hi = self.block_slice(b)
-        off = self._offsets[lo:hi]
-        w = self._weights[lo:hi]
-        til = self._tilted[lo:hi]
-        if til.any():
-            m_up = _corner_matrix(
-                off * (~til[:, None, None]), w * (~til[:, None]), self.p
-            )
-            m_ti = _corner_matrix(
-                off * til[:, None, None], w * til[:, None], self.p
-            )
-            raw = jnp.dot(
-                jnp.asarray(m_up), self.sum_rows.T, precision=_MM_PREC
-            ) + jnp.dot(jnp.asarray(m_ti), self.tilt_rows.T, precision=_MM_PREC)
-        else:
-            m = _corner_matrix(off, w, self.p)
-            raw = jnp.dot(jnp.asarray(m), self.sum_rows.T, precision=_MM_PREC)
-        nf = self.nf[None, :]
-        return jnp.where(nf != 0.0, raw / jnp.where(nf == 0.0, 1.0, nf), 0.0)
+        return self._eval_features(slice(lo, hi))
 
     def values_for_vars(self, var_ids) -> jax.Array:
         """(K, N) responses for an explicit list of feature indices —
         used by the cascade predictor during sample mining."""
-        ids = np.asarray(var_ids, np.int64)
-        off = self._offsets[ids]
-        w = self._weights[ids]
-        til = self._tilted[ids]
-        if til.any():
-            m_up = _corner_matrix(
-                off * (~til[:, None, None]), w * (~til[:, None]), self.p
-            )
-            m_ti = _corner_matrix(
-                off * til[:, None, None], w * til[:, None], self.p
-            )
-            raw = jnp.dot(
-                jnp.asarray(m_up), self.sum_rows.T, precision=_MM_PREC
-            ) + jnp.dot(jnp.asarray(m_ti), self.tilt_rows.T, precision=_MM_PREC)
-        else:
-            m = _corner_matrix(off, w, self.p)
-            raw = jnp.dot(jnp.asarray(m), self.sum_rows.T, precision=_MM_PREC)
-        nf = self.nf[None, :]
-        return jnp.where(nf != 0.0, raw / jnp.where(nf == 0.0, 1.0, nf), 0.0)
+        return self._eval_features(np.asarray(var_ids, np.int64))
 
 
 class LBPTrainEvaluator:

@@ -261,7 +261,13 @@ class CascadeTrainer:
         t_start = time.time()
         os.makedirs(data_dir, exist_ok=True)
         pos = PosReader(vec_path, self.win_w, self.win_h)
-        neg = NegReader(bg_path, self.win_w, self.win_h)
+        # prefer the native (C++) miner; byte-identical to the Python one
+        try:
+            from cascadeclassifier_tpu.data.native import NativeNegReader
+
+            neg = NativeNegReader(bg_path, self.win_w, self.win_h)
+        except Exception:
+            neg = NegReader(bg_path, self.win_w, self.win_h)
 
         resumed = self.load(data_dir)
         if resumed and verbose:

@@ -92,3 +92,32 @@ def test_negreader_windows_match_reference_library(tmp_path):
     ref = np.array(out, np.int32).reshape(-1, 24, 24)
     mine = NegReader(bg, 24, 24).take_batch(150)[: len(ref)]
     np.testing.assert_array_equal(mine.astype(np.int32), ref)
+
+
+def test_native_io_matches_python(tmp_path):
+    """C++ IO runtime (csrc/) must be byte-identical to the Python path."""
+    from cascadeclassifier_tpu.data import native
+
+    if native.get_lib() is None:
+        import subprocess
+
+        subprocess.run(["make", "-C", "/root/repo/csrc"], capture_output=True)
+        native._TRIED = False
+        if native.get_lib() is None:
+            pytest.skip("native IO library not buildable")
+
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 256, (9, 14, 10)).astype(np.uint8)
+    p = str(tmp_path / "n.vec")
+    assert native.native_write_vec(p, s)
+    np.testing.assert_array_equal(read_vec(p, 10, 14), s)
+    nv = native.native_read_vec(p)
+    np.testing.assert_array_equal(nv.reshape(9, 14, 10), s)
+
+    if os.path.exists(os.path.join(REF_RES, "bg.png")):
+        bg = str(tmp_path / "bg.txt")
+        with open(bg, "w") as f:
+            f.write(os.path.join(REF_RES, "bg.png") + "\n")
+        py = NegReader(bg, 24, 24).take_batch(120)
+        nat = native.NativeNegReader(bg, 24, 24).take_batch(120)
+        np.testing.assert_array_equal(py, nat)

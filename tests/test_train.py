@@ -1,0 +1,251 @@
+"""Trainer: split-search golden checks, stage training, full cascade loop."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cascadeclassifier_tpu.models.model import (
+    BOOST_DAB,
+    BOOST_GAB,
+    BOOST_LB,
+    BOOST_RAB,
+    FEATURE_HAAR,
+    FEATURE_LBP,
+)
+from cascadeclassifier_tpu.ops.features import haar_catalog, lbp_catalog
+from cascadeclassifier_tpu.train.boost import (
+    BoostParams,
+    StageTrainer,
+    _categorical_split_block,
+    _ordered_split_block,
+    as_f64,
+)
+from cascadeclassifier_tpu.train.evaluators import (
+    HaarTrainEvaluator,
+    LBPTrainEvaluator,
+)
+from cascadeclassifier_tpu.train.trainer import CascadeTrainer
+
+
+def _ref_ordered_split(values, w, resp):
+    """Literal transcription of find_split_ord_reg
+    (o_cvboostree.cpp:361-426) for one feature, as the numpy oracle."""
+    order = np.argsort(values, kind="stable")
+    v = values[order]
+    ww = w[order]
+    rr = resp[order] * ww
+    L = 0.0
+    R = ww.sum()
+    lsum = 0.0
+    rsum = rr.sum()
+    best_val, best_i = -np.inf, -1
+    eps = np.float32(1.1920929e-07) * 2
+    n = len(v)
+    for i in range(n - 1):
+        L += ww[i]
+        R -= ww[i]
+        lsum += rr[i]
+        rsum -= rr[i]
+        if v[i] + eps < v[i + 1]:
+            val = (lsum * lsum * R + rsum * rsum * L) / (L * R)
+            if best_val < val:
+                best_val, best_i = val, i
+    thr = np.float32(v[best_i] + v[best_i + 1]) * np.float32(0.5)
+    return best_val, np.float32(thr)
+
+
+def test_ordered_split_matches_reference_scan():
+    rng = np.random.default_rng(0)
+    n, b = 200, 17
+    values = rng.normal(size=(b, n)).astype(np.float32)
+    sort_idx = np.argsort(values, axis=1).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, n)
+    w /= w.sum()
+    resp = rng.choice([-1.0, 1.0], n)
+    mask = np.ones(n, bool)
+    q, thr = _ordered_split_block(
+        jnp.asarray(values), jnp.asarray(sort_idx), as_f64(w),
+        as_f64(resp), jnp.asarray(mask),
+    )
+    q, thr = np.asarray(q), np.asarray(thr)
+    for i in range(b):
+        rq, rthr = _ref_ordered_split(values[i], w, resp)
+        assert q[i] == pytest.approx(rq, rel=1e-12), i
+        assert thr[i] == pytest.approx(rthr, abs=1e-6), i
+
+
+def test_ordered_split_respects_subsample_mask():
+    rng = np.random.default_rng(1)
+    n = 100
+    values = rng.normal(size=(1, n)).astype(np.float32)
+    sort_idx = np.argsort(values, axis=1).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, n)
+    resp = rng.choice([-1.0, 1.0], n)
+    mask = rng.uniform(size=n) < 0.6
+    q, thr = _ordered_split_block(
+        jnp.asarray(values), jnp.asarray(sort_idx), as_f64(w),
+        as_f64(resp), jnp.asarray(mask),
+    )
+    rq, rthr = _ref_ordered_split(values[0][mask], w[mask], resp[mask])
+    assert float(q[0]) == pytest.approx(rq, rel=1e-12)
+    assert float(thr[0]) == pytest.approx(rthr, abs=1e-6)
+
+
+def _ref_categorical_split(codes, w, resp):
+    """Literal transcription of find_split_cat_reg
+    (o_cvboostree.cpp:428-516) for one feature."""
+    mi = 256
+    cnt = np.zeros(mi)
+    sm = np.zeros(mi)
+    for c, wi, ri in zip(codes, w, resp):
+        cnt[c] += wi
+        sm[c] += wi * ri
+    means = np.where(np.abs(cnt) > 2.3e-16, sm / np.where(cnt == 0, 1, cnt), 0)
+    order = np.argsort(means, kind="stable")
+    s_sorted = (means * cnt)[order]
+    c_sorted = cnt[order]
+    L = R = lsum = rsum = 0.0
+    R = cnt.sum()
+    rsum = sm.sum()
+    best_val, best_subset = -np.inf, -1
+    flt = np.float32(1.1920929e-07)
+    for si in range(mi - 1):
+        ni = c_sorted[si]
+        if ni > flt:
+            lsum += s_sorted[si]
+            L += ni
+            rsum -= s_sorted[si]
+            R -= ni
+            if L > flt and R > flt:
+                val = (lsum * lsum * R + rsum * rsum * L) / (L * R)
+                if best_val < val:
+                    best_val, best_subset = val, si
+    subset = np.zeros(8, np.uint32)
+    for i in range(best_subset + 1):
+        idx = order[i]
+        subset[idx >> 5] |= np.uint32(1 << (idx & 31))
+    return best_val, subset.astype(np.int32)
+
+
+def test_categorical_split_matches_reference_scan():
+    rng = np.random.default_rng(2)
+    n, b = 300, 5
+    codes = rng.integers(0, 256, (b, n)).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, n)
+    w /= w.sum()
+    resp = rng.choice([-1.0, 1.0], n)
+    mask = np.ones(n, bool)
+    q, subs = _categorical_split_block(
+        jnp.asarray(codes), as_f64(w), as_f64(resp), jnp.asarray(mask)
+    )
+    q, subs = np.asarray(q), np.asarray(subs)
+    for i in range(b):
+        rq, rsub = _ref_categorical_split(codes[i], w, resp)
+        assert q[i] == pytest.approx(rq, rel=1e-9), i
+        np.testing.assert_array_equal(subs[i], rsub, err_msg=str(i))
+
+
+def _toy_samples(n_pos=40, n_neg=40, w=12, h=12, seed=0):
+    """Separable toy set: positives have a bright center square."""
+    rng = np.random.default_rng(seed)
+    neg = rng.integers(0, 256, (n_neg, h, w)).astype(np.uint8)
+    pos = rng.integers(0, 100, (n_pos, h, w)).astype(np.uint8)
+    pos[:, 3:9, 3:9] = rng.integers(200, 256, (n_pos, 6, 6))
+    samples = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(n_pos, np.int32), np.zeros(n_neg, np.int32)])
+    return samples, labels
+
+
+@pytest.mark.parametrize("bt", [BOOST_GAB, BOOST_RAB, BOOST_DAB, BOOST_LB])
+def test_stage_trainer_separates_toy_data(bt):
+    samples, labels = _toy_samples()
+    ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
+    ev.set_samples(samples)
+    st = StageTrainer(ev, BoostParams(boost_type=bt, weak_count=10))
+    stage, sums = st.train(labels, verbose=False)
+    assert stage is not None
+    pos_sums = sums[labels == 1]
+    # minHitRate=0.995 with 40 pos → threshold index 0 → HR must be 1
+    assert (pos_sums >= stage.threshold - 1e-5).mean() >= 0.97
+    neg_sums = sums[labels == 0]
+    assert (neg_sums >= stage.threshold - 1e-5).mean() <= 0.5
+
+
+def test_stage_trainer_lbp_categorical():
+    samples, labels = _toy_samples()
+    ev = LBPTrainEvaluator(lbp_catalog(12, 12), block_size=4096)
+    ev.set_samples(samples)
+    stage, sums = StageTrainer(ev, BoostParams(weak_count=10)).train(
+        labels, verbose=False
+    )
+    assert stage is not None
+    assert stage.trees[0].subsets is not None
+
+
+def test_stage_trainer_depth2():
+    samples, labels = _toy_samples()
+    ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
+    ev.set_samples(samples)
+    stage, _ = StageTrainer(
+        ev, BoostParams(max_depth=2, weak_count=5)
+    ).train(labels, verbose=False)
+    assert stage is not None
+    assert max(t.num_nodes for t in stage.trees) >= 1
+
+
+@pytest.fixture(scope="module")
+def toy_train_dir(tmp_path_factory):
+    """Train a small end-to-end HAAR cascade from synthesized data."""
+    import cv2
+
+    from cascadeclassifier_tpu.data.vec import write_vec
+
+    d = tmp_path_factory.mktemp("toytrain")
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, 90, (120, 12, 12)).astype(np.uint8)
+    pos[:, 3:9, 3:9] = rng.integers(190, 256, (120, 6, 6))
+    write_vec(str(d / "pos.vec"), pos)
+    bg = rng.integers(0, 256, (96, 128)).astype(np.uint8)
+    cv2.imwrite(str(d / "bg.png"), bg)
+    with open(d / "bg.txt", "w") as f:
+        f.write(str(d / "bg.png") + "\n")
+    return d
+
+
+def test_cascade_trainer_end_to_end(toy_train_dir, oracle_bin, tmp_path):
+    d = toy_train_dir
+    tr = CascadeTrainer(feature_type=FEATURE_HAAR, win_w=12, win_h=12)
+    model = tr.train(
+        str(d / "data"),
+        str(d / "pos.vec"),
+        str(d / "bg.txt"),
+        num_pos=100,
+        num_neg=80,
+        num_stages=2,
+        verbose=False,
+    )
+    assert model is not None and model.num_stages >= 1
+    # artifacts exist (checkpointing contract, cascadeclassifier.cpp:248-275)
+    assert os.path.exists(d / "data" / "params.xml")
+    assert os.path.exists(d / "data" / "stage0.xml")
+    assert os.path.exists(d / "data" / "cascade.xml")
+    # the strongest oracle: output loads in the independent OpenCV runtime
+    img = str(tmp_path / "x.png")
+    import cv2
+
+    cv2.imwrite(img, np.random.default_rng(0).integers(0, 255, (40, 40)).astype(np.uint8))
+    r = subprocess.run(
+        [oracle_bin, str(d / "data" / "cascade.xml"), img],
+        capture_output=True,
+        text=True,
+    )
+    assert "LOADED" in r.stdout
+
+    # resume: a new trainer picks up the checkpoints
+    tr2 = CascadeTrainer(feature_type=FEATURE_HAAR, win_w=12, win_h=12)
+    assert tr2.load(str(d / "data"))
+    assert len(tr2.stages) == model.num_stages
