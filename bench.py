@@ -40,7 +40,7 @@ def main():
 
     xml = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
     model = read_cascade_xml(xml)
-    det = TPUDetector(model)
+    det = TPUDetector(model, exact=bool(int(os.environ.get("BENCH_EXACT", "0"))))
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
     frames = [synth_frame(k) for k in range(n_frames)]

@@ -69,10 +69,17 @@ def dense_variance_gate(sum2d, sq2d, win_w, win_h, out_h, out_w):
     return ok, jnp.where(ok, inv_nf, jnp.float32(1.0))
 
 
-def dense_stage_haar(sum2d, tilt2d, stage, out_h, out_w, inv_nf):
-    """Σ leaves over one stage's stump trees at every position → f64."""
-    with jax.enable_x64(True):
-        acc = jnp.zeros((out_h, out_w), jnp.float64)
+def dense_stage_haar(sum2d, tilt2d, stage, out_h, out_w, inv_nf, exact=True):
+    """Σ leaves over one stage's stump trees at every position.
+
+    exact=True accumulates the stage sum in float64 like the OpenCV runtime
+    (bit-level parity); exact=False accumulates in float32 (~4× faster on
+    the VPU, identical results except windows within ~1e-6 of a stage
+    threshold)."""
+    acc_dt = jnp.float64 if exact else jnp.float32
+
+    def body():
+        acc = jnp.zeros((out_h, out_w), acc_dt)
         for i in range(stage.ntrees):
             raw = None
             for r in range(3):
@@ -92,17 +99,24 @@ def dense_stage_haar(sum2d, tilt2d, stage, out_h, out_w, inv_nf):
             val = raw * inv_nf
             leaf = jnp.where(
                 val < np.float32(stage.thr[i]),
-                np.float64(stage.left_leaf[i]),
-                np.float64(stage.right_leaf[i]),
+                acc_dt(stage.left_leaf[i]),
+                acc_dt(stage.right_leaf[i]),
             )
             acc = acc + leaf
-    return acc
+        return acc
+
+    if exact:
+        with jax.enable_x64(True):
+            return body()
+    return body()
 
 
-def dense_stage_lbp(sum2d, stage, out_h, out_w):
-    """Σ leaves over one stage's categorical (LBP) stumps → f64."""
-    with jax.enable_x64(True):
-        acc = jnp.zeros((out_h, out_w), jnp.float64)
+def dense_stage_lbp(sum2d, stage, out_h, out_w, exact=True):
+    """Σ leaves over one stage's categorical (LBP) stumps."""
+    acc_dt = jnp.float64 if exact else jnp.float32
+
+    def body():
+        acc = jnp.zeros((out_h, out_w), acc_dt)
         for i in range(stage.ntrees):
             x, y, w, h = (int(v) for v in stage.lbp_rects[i])
 
@@ -135,10 +149,15 @@ def dense_stage_lbp(sum2d, stage, out_h, out_w):
             bit = (word >> (code & 31)) & 1
             acc = acc + jnp.where(
                 bit != 0,
-                np.float64(stage.left_leaf[i]),
-                np.float64(stage.right_leaf[i]),
+                acc_dt(stage.left_leaf[i]),
+                acc_dt(stage.right_leaf[i]),
             )
-    return acc
+        return acc
+
+    if exact:
+        with jax.enable_x64(True):
+            return body()
+    return body()
 
 
 def dense_walk_visited(m0, row_is_grid, row_step2, row_maxc):
@@ -164,3 +183,93 @@ def dense_walk_visited(m0, row_is_grid, row_step2, row_maxc):
 
     _, cols = jax.lax.scan(step, jnp.zeros(h, bool), col_ids)
     return cols.T
+
+
+def _dense_node_value_haar(sum2d, tilt2d, feat, out_h, out_w, inv_nf):
+    """Normalized Haar response of one feature at every position → f32."""
+    raw = None
+    for (rx, ry, w, h, wt) in feat.rects:
+        if feat.tilted:
+            term = dense_tilted_rect_sum(
+                tilt2d, rx, ry, w, h, out_h, out_w
+            ).astype(jnp.float32) * np.float32(wt)
+        else:
+            term = dense_rect_sum(
+                sum2d, rx, ry, w, h, out_h, out_w
+            ).astype(jnp.float32) * np.float32(wt)
+        raw = term if raw is None else raw + term
+    return raw * inv_nf
+
+
+def _dense_lbp_code(sum2d, rect, out_h, out_w):
+    """LBP code of one feature at every position → int32."""
+    x, y, w, h = rect
+
+    def cs(cx, cy):
+        return dense_rect_sum(sum2d, cx, cy, w, h, out_h, out_w)
+
+    c00, c10, c20 = cs(x, y), cs(x + w, y), cs(x + 2 * w, y)
+    c01, c11, c21 = cs(x, y + h), cs(x + w, y + h), cs(x + 2 * w, y + h)
+    c02, c12, c22 = cs(x, y + 2 * h), cs(x + w, y + 2 * h), cs(x + 2 * w, y + 2 * h)
+    cval = c11
+    return (
+        jnp.where(c00 >= cval, 128, 0)
+        | jnp.where(c10 >= cval, 64, 0)
+        | jnp.where(c20 >= cval, 32, 0)
+        | jnp.where(c21 >= cval, 16, 0)
+        | jnp.where(c22 >= cval, 8, 0)
+        | jnp.where(c12 >= cval, 4, 0)
+        | jnp.where(c02 >= cval, 2, 0)
+        | jnp.where(c01 >= cval, 1, 0)
+    )
+
+
+def dense_stage_deep(
+    sum2d, tilt2d, stage, out_h, out_w, inv_nf, is_haar, exact=True
+):
+    """Stage sum for trees with >1 internal node: each position walks its
+    own path, realized as dense per-node evaluations combined with masked
+    selects (predictOrdered / predictCategorical semantics)."""
+    acc_dt = jnp.float64 if exact else jnp.float32
+
+    def subset_bit(code, subsets):
+        word = jnp.zeros_like(code)
+        wsel = code >> 5
+        for wi in range(8):
+            word = jnp.where(wsel == wi, int(subsets[wi]), word)
+        return ((word >> (code & 31)) & 1) != 0
+
+    def body():
+        acc = jnp.zeros((out_h, out_w), acc_dt)
+        for tree, feats in stage.deep_trees:
+
+            def eval_node(ni):
+                f = feats[ni]
+                if is_haar:
+                    val = _dense_node_value_haar(
+                        sum2d, tilt2d, f, out_h, out_w, inv_nf
+                    )
+                    go_left = val < np.float32(tree.threshold[ni])
+                else:
+                    code = _dense_lbp_code(sum2d, f.rect, out_h, out_w)
+                    go_left = subset_bit(code, tree.subsets[ni])
+
+                def child(c):
+                    if c <= 0:
+                        return jnp.full(
+                            (out_h, out_w), acc_dt(tree.leaf_values[-c])
+                        )
+                    return eval_node(int(c))
+
+                return jnp.where(
+                    go_left, child(int(tree.left[ni])),
+                    child(int(tree.right[ni])),
+                )
+
+            acc = acc + eval_node(0)
+        return acc
+
+    if exact:
+        with jax.enable_x64(True):
+            return body()
+    return body()

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cascadeclassifier_tpu.detect.dense import (
+    dense_stage_deep,
     dense_stage_haar,
     dense_stage_lbp,
     dense_variance_gate,
@@ -67,6 +68,9 @@ class PackedStage:
     left_leaf: np.ndarray | None  # (T,) float32
     right_leaf: np.ndarray | None
     lbp_rects: np.ndarray | None  # (T, 4) int32 (LBP)
+    # deep-tree path (any tree with >1 internal node); when set, the stump
+    # arrays above hold node 0 only and deep_trees drives evaluation
+    deep_trees: list | None = None  # [(tree: WeakTree, node_feats: list)]
 
 
 @dataclasses.dataclass
@@ -79,12 +83,6 @@ class PackedCascade:
 
     @classmethod
     def from_model(cls, m: CascadeModel) -> "PackedCascade":
-        if m.max_tree_nodes() > 1:
-            raise NotImplementedError(
-                "deep-tree detection packing lands with the trainer; "
-                "current detector supports stump cascades "
-                "(all OpenCV-shipped cascades are stumps)"
-            )
         stages = []
         for s in m.stages:
             t = len(s.trees)
@@ -98,8 +96,10 @@ class PackedCascade:
             lbp = np.zeros((t, 4), np.int32)
             for i, tree in enumerate(s.trees):
                 f = m.features[int(tree.feature_idx[0])]
-                ll[i] = tree.leaf_values[-int(tree.left[0])]
-                rl[i] = tree.leaf_values[-int(tree.right[0])]
+                if tree.left[0] <= 0:
+                    ll[i] = tree.leaf_values[-int(tree.left[0])]
+                if tree.right[0] <= 0:
+                    rl[i] = tree.leaf_values[-int(tree.right[0])]
                 if m.feature_type == FEATURE_HAAR:
                     for ri, (x, y, rw, rh, wt) in enumerate(f.rects):
                         fr[i, ri] = (x, y, rw, rh)
@@ -111,6 +111,12 @@ class PackedCascade:
                     subs[i] = tree.subsets[0]
                 else:
                     raise NotImplementedError("HOG detection: see detect/hog.py")
+            deep = None
+            if any(tr.num_nodes > 1 for tr in s.trees):
+                deep = [
+                    (tr, [m.features[int(v)] for v in tr.feature_idx])
+                    for tr in s.trees
+                ]
             stages.append(
                 PackedStage(
                     threshold=np.float32(s.threshold) - THRESHOLD_EPS,
@@ -123,6 +129,7 @@ class PackedCascade:
                     left_leaf=ll,
                     right_leaf=rl,
                     lbp_rects=lbp,
+                    deep_trees=deep,
                 )
             )
         has_tilted = m.uses_tilted()
@@ -201,8 +208,12 @@ class TPUDetector:
     """detectMultiScale-compatible detector running each frame as one fused
     TPU program over all pyramid levels."""
 
-    def __init__(self, model: CascadeModel):
+    def __init__(self, model: CascadeModel, exact: bool = True):
+        """exact=True replicates the OpenCV runtime's float64 stage sums
+        bit-for-bit; exact=False uses float32 (faster, same detections
+        except knife-edge windows within ~1e-6 of a stage threshold)."""
         self.model = model
+        self.exact = exact
         self.packed = PackedCascade.from_model(model)
         self._compiled = {}
 
@@ -241,13 +252,25 @@ class TPUDetector:
         out_h = plan.canvas_h - packed.win_h
         out_w = plan.canvas_w - packed.win_w
 
+        exact = self.exact
+
         def stage(sum2d, inv_nf, alive):
-            if is_haar:
-                ssum = dense_stage_haar(sum2d, sum2d, st, out_h, out_w, inv_nf)
+            if st.deep_trees is not None:
+                ssum = dense_stage_deep(
+                    sum2d, sum2d, st, out_h, out_w, inv_nf, is_haar,
+                    exact=exact,
+                )
+            elif is_haar:
+                ssum = dense_stage_haar(
+                    sum2d, sum2d, st, out_h, out_w, inv_nf, exact=exact
+                )
             else:
-                ssum = dense_stage_lbp(sum2d, st, out_h, out_w)
-            with jax.enable_x64(True):
-                passed = ssum >= jnp.float64(st.threshold)
+                ssum = dense_stage_lbp(sum2d, st, out_h, out_w, exact=exact)
+            if exact:
+                with jax.enable_x64(True):
+                    passed = ssum >= jnp.float64(st.threshold)
+            else:
+                passed = ssum >= jnp.float32(st.threshold)
             return alive & passed, passed
 
         return jax.jit(stage)
@@ -309,7 +332,7 @@ class TPUDetector:
             tuple(max_size) if max_size else None,
         )
         key = (w, h, scale_factor, min_size and tuple(min_size),
-               max_size and tuple(max_size), max_det)
+               max_size and tuple(max_size), max_det, self.exact)
         canvas_fn, stage_fns, collect_fn, tab = self._get_fns(key, plan, max_det)
 
         sum2d, gate, inv_nf = canvas_fn(jnp.asarray(img), tab)
@@ -342,4 +365,7 @@ class TPUDetector:
         f = plan.scales[s].astype(np.float64)
         x_img = np.rint(c * f).astype(np.int32)
         y_img = np.rint(y * f).astype(np.int32)
-        return np.stack([x_img, y_img, plan.box_w[s], plan.box_h[s]], axis=1)
+        # the OpenCV runtime clips candidate rects to the image bounds
+        bw = np.minimum(plan.box_w[s], plan.img_w - x_img)
+        bh = np.minimum(plan.box_h[s], plan.img_h - y_img)
+        return np.stack([x_img, y_img, bw, bh], axis=1)

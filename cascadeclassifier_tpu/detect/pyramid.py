@@ -158,7 +158,13 @@ def build_plan(
         step = int(ystep[s])
         if w_s < win_w or h_s < win_h:
             continue
-        ys = np.arange(0, h_s - win_h + 1, step)
+        # OpenCV invoker geometry (validated against the oracle with
+        # boundary-discriminating probes): processingRect = szi − origWin
+        # with szi = scaled size + 1, x bounded x < prW (so x ≤ w−ww
+        # inclusive), but the y loop iterates i < prH // ystep with
+        # y = i·ystep — truncating the last grid row when ystep == 2
+        n_rows = (h_s + 1 - win_h) // step
+        ys = np.arange(n_rows) * step
         row_is_grid[t + ys] = True
         row_step2[t : t + h_s + 1] = step == 2
         row_maxc[t : t + h_s + 1] = w_s - win_w

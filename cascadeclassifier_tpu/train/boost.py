@@ -27,6 +27,7 @@ replace the reference's index-partitioning split_node_data).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import numpy as np
@@ -198,6 +199,125 @@ def _categorical_split_block(codes, w, resp, mask):
         return bq, subset
 
 
+@functools.partial(jax.jit, static_argnames=("use_gini",))
+def _ordered_class_split_block(values, sort_idx, w, cls, mask, use_gini):
+    """Best weighted two-class split per feature (find_split_ord_class,
+    o_cvboostree.cpp:151-247). cls: (N,) int {0,1}. GINI quality is
+    (Σ_k lcw_k²·R + Σ_k rcw_k²·L)/(L·R); MISCLASS is
+    max(lcw0+rcw1, lcw1+rcw0)."""
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        vs = jnp.take_along_axis(values, sort_idx, axis=1)
+        ws = wm[sort_idx]
+        cls_s = cls[sort_idx]
+        kept = mask[sort_idx]
+
+        w1s = jnp.where(cls_s == 1, ws, 0.0)
+        w0s = ws - w1s
+        c0 = jnp.cumsum(w0s, axis=1)
+        c1 = jnp.cumsum(w1s, axis=1)
+        t0 = jnp.sum(jnp.where(cls == 0, wm, 0.0))
+        t1 = jnp.sum(wm) - t0
+        r0 = t0 - c0
+        r1 = t1 - c1
+
+        vk = jnp.where(kept, vs, jnp.inf)
+        nxt = jnp.flip(jax.lax.cummin(jnp.flip(vk, axis=1), axis=1), axis=1)
+        nxt = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((vs.shape[0], 1), jnp.inf)], axis=1
+        )
+        valid = kept & (vs + 2 * FLT_EPSILON < nxt) & jnp.isfinite(nxt)
+
+        if use_gini:
+            lw = c0 + c1
+            rw = r0 + r1
+            qual = ((c0 * c0 + c1 * c1) * rw + (r0 * r0 + r1 * r1) * lw) / (
+                lw * rw
+            )
+            qual = jnp.where(valid & (lw > 0) & (rw > 0), qual, -jnp.inf)
+        else:
+            qual = jnp.maximum(c0 + r1, c1 + r0)
+            qual = jnp.where(valid, qual, -jnp.inf)
+
+        bq = jnp.max(qual, axis=1)
+        posn = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
+        best = jnp.min(
+            jnp.where(qual == bq[:, None], posn, qual.shape[1]), axis=1
+        )
+        best = jnp.minimum(best, qual.shape[1] - 1)
+        bv = jnp.take_along_axis(vs, best[:, None], axis=1)[:, 0]
+        bn = jnp.take_along_axis(nxt, best[:, None], axis=1)[:, 0]
+        thr = (
+            bv.astype(jnp.float32) + bn.astype(jnp.float32)
+        ) * np.float32(0.5)
+        return bq, thr
+
+
+@functools.partial(jax.jit, static_argnames=("use_gini",))
+def _categorical_class_split_block(codes, w, cls, mask, use_gini):
+    """Two-class categorical split (find_split_cat_class,
+    o_cvboostree.cpp:249-359): per-category class-weight pairs sorted by
+    the class-1 weight, greedy prefix scan, subset bitmask."""
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        w1 = jnp.where(cls == 1, wm, 0.0)
+        w0 = wm - w1
+        b, n = codes.shape
+
+        def per_cat(c, _):
+            sel = codes == c
+            cw0 = jnp.sum(jnp.where(sel, w0[None, :], 0.0), axis=1)
+            cw1 = jnp.sum(jnp.where(sel, w1[None, :], 0.0), axis=1)
+            return c + 1, (cw0, cw1)
+
+        _, (cw0, cw1) = jax.lax.scan(per_cat, 0, None, length=256)
+        cw0 = cw0.T  # (B, 256)
+        cw1 = cw1.T
+
+        order = jnp.argsort(cw1, axis=1, stable=True)
+        s0 = jnp.take_along_axis(cw0, order, axis=1)
+        s1 = jnp.take_along_axis(cw1, order, axis=1)
+        weight = s0 + s1
+        skip = weight < FLT_EPSILON
+        # skipped categories move no mass (their weight ≈ 0 numerically)
+        lc0 = jnp.cumsum(jnp.where(skip, 0.0, s0), axis=1)
+        lc1 = jnp.cumsum(jnp.where(skip, 0.0, s1), axis=1)
+        t0 = jnp.sum(cw0, axis=1, keepdims=True)
+        t1 = jnp.sum(cw1, axis=1, keepdims=True)
+        rc0 = t0 - lc0
+        rc1 = t1 - lc1
+
+        posi = jax.lax.broadcasted_iota(jnp.int32, (b, 256), 1)
+        valid = (~skip) & (posi < 255)
+        if use_gini:
+            lw = lc0 + lc1
+            rw = rc0 + rc1
+            qual = (
+                (lc0 * lc0 + lc1 * lc1) * rw + (rc0 * rc0 + rc1 * rc1) * lw
+            ) / (lw * rw)
+            valid = valid & (lw > FLT_EPSILON) & (rw > FLT_EPSILON)
+        else:
+            qual = jnp.maximum(lc0 + rc1, lc1 + rc0)
+        qual = jnp.where(valid, qual, -jnp.inf)
+
+        bq = jnp.max(qual, axis=1)
+        best = jnp.min(
+            jnp.where(qual == bq[:, None], posi, 256), axis=1
+        )
+        best = jnp.minimum(best, 255)
+
+        incl = posi <= best[:, None]
+        cat_in = jnp.take_along_axis(incl, jnp.argsort(order, axis=1), axis=1)
+        bits = cat_in.reshape(b, 8, 32)
+        weights32 = (1 << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
+        subset = jnp.sum(
+            jnp.where(bits, weights32[None, None, :], 0).astype(jnp.uint32),
+            axis=2,
+            dtype=jnp.uint32,
+        ).astype(jnp.int32)
+        return bq, subset
+
+
 @jax.jit
 def _node_value(w, resp, mask):
     """Weighted mean response over the node (calc_node_value regression
@@ -206,6 +326,18 @@ def _node_value(w, resp, mask):
         wm = jnp.where(mask, w, 0.0)
         sw = jnp.sum(wm)
         return jnp.sum(wm * resp) / sw
+
+
+def _node_value_class(w, cls, mask, boost_type):
+    """Classification leaf (calc_node_value, o_cvboostree.cpp:669-698):
+    DAB leaf = ±1 majority class; RAB leaf = ½·log-odds of class 1."""
+    wm = np.where(mask, w, 0.0)
+    rcw1 = float(wm[cls == 1].sum())
+    rcw0 = float(wm.sum()) - rcw1
+    if boost_type == BOOST_DAB:
+        return 1.0 if rcw1 > rcw0 else -1.0
+    p = rcw1 / (rcw0 + rcw1) if (rcw0 + rcw1) > 0 else 0.5
+    return 0.5 * _log_ratio(p)
 
 
 # ---------------------------------------------------------------------------
@@ -262,17 +394,31 @@ class StageTrainer:
 
     def _find_best_split(self, cache, w, resp, mask):
         """Global best split across every feature. Returns
-        (var_idx, quality, thr_or_subset) or None."""
+        (var_idx, thr_or_subset) or None.
+
+        GAB/LB grow regression trees (find_split_*_reg); DAB/RAB grow
+        two-class classification trees with MISCLASS/GINI criteria
+        (set_params mapping, o_cvboost.cpp:67-99)."""
         best_q = -np.inf
         best = None
         wj = as_f64(w)
-        rj = as_f64(resp)
         mj = jnp.asarray(mask)
+        classifier = self._is_classifier
+        if classifier:
+            cj = jnp.asarray(self._cls)
+            use_gini = self.params.boost_type == BOOST_RAB
+        else:
+            rj = as_f64(resp)
         for b in range(len(cache.values)):
             if self.categorical:
-                q, subset = _categorical_split_block(
-                    cache.values[b], wj, rj, mj
-                )
+                if classifier:
+                    q, subset = _categorical_class_split_block(
+                        cache.values[b], wj, cj, mj, use_gini
+                    )
+                else:
+                    q, subset = _categorical_split_block(
+                        cache.values[b], wj, rj, mj
+                    )
                 q = np.asarray(q)
                 i = int(np.argmax(q))
                 if q[i] > best_q:
@@ -282,9 +428,15 @@ class StageTrainer:
                         np.asarray(subset[i]),
                     )
             else:
-                q, thr = _ordered_split_block(
-                    cache.values[b], cache.sort_idx[b], wj, rj, mj
-                )
+                if classifier:
+                    q, thr = _ordered_class_split_block(
+                        cache.values[b], cache.sort_idx[b], wj, cj, mj,
+                        use_gini,
+                    )
+                else:
+                    q, thr = _ordered_split_block(
+                        cache.values[b], cache.sort_idx[b], wj, rj, mj
+                    )
                 q = np.asarray(q)
                 i = int(np.argmax(q))
                 if q[i] > best_q:
@@ -310,9 +462,14 @@ class StageTrainer:
         leaves = []
 
         def leaf_value(node_mask):
-            v = float(
-                _node_value(as_f64(w), as_f64(resp), jnp.asarray(node_mask))
-            )
+            if self._is_classifier:
+                v = _node_value_class(
+                    w, self._cls, node_mask, self.params.boost_type
+                )
+            else:
+                v = float(
+                    _node_value(as_f64(w), as_f64(resp), jnp.asarray(node_mask))
+                )
             leaves.append(np.float32(v))
             return -(len(leaves) - 1)
 
@@ -414,6 +571,8 @@ class StageTrainer:
         if valid is None:
             valid = np.ones(n, bool)
         n_real = int(valid.sum())
+        self._is_classifier = p.boost_type in (BOOST_DAB, BOOST_RAB)
+        self._cls = labels.astype(np.int32)
         cache = FeatureCache(self.ev, self.categorical)
 
         orig = labels.astype(np.int32) * 2 - 1  # {−1, +1}
@@ -445,15 +604,12 @@ class StageTrainer:
 
             # update_weights(tree) — boost.cpp:267-407
             if p.boost_type == BOOST_DAB:
+                # boost.cpp:284-317: err = Σw·(f≠y)/Σw, C = −logRatio(err),
+                # w *= exp(C) where wrong, then the tree is scaled by C
                 sw = w.sum()
-                err = float(np.sum(w * (np.sign(preds) != orig))) / max(sw, 1e-300)
-                c = -_log_ratio(err)
-                scale = np.where(
-                    np.isclose(preds, orig), 1.0, math.exp(-(-c))
-                )
-                # DAB trees predict class values ±1 directly; preds here are
-                # leaf values (±1 after scaling). w *= exp(C·(f≠y))
                 wrong = preds != orig
+                err = float(np.sum(w * wrong)) / max(sw, 1e-300)
+                c = -_log_ratio(err)
                 w = w * np.where(wrong, math.exp(c), 1.0)
                 tree.leaf_values = (tree.leaf_values * np.float32(c)).astype(
                     np.float32

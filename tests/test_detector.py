@@ -108,3 +108,49 @@ def test_group_rectangles_semantics():
     # threshold 0 → unchanged
     out0 = group_rectangles(rects, 0)
     assert len(out0) == 4
+
+
+def test_deep_tree_parity(oracle_bin, tmp_path, face_img):
+    """Depth-2 weak trees (predictOrdered path in the OpenCV runtime)."""
+    from cascadeclassifier_tpu.models.model import (
+        CascadeModel,
+        HaarFeature,
+        Stage,
+        WeakTree,
+    )
+    from cascadeclassifier_tpu.models.xml_io import write_cascade_xml
+
+    # two depth-2 trees over simple edge features
+    t1 = WeakTree(
+        left=np.array([1, 0, -1], np.int32),
+        right=np.array([2, -2, -3], np.int32),
+        feature_idx=np.array([0, 1, 2], np.int32),
+        threshold=np.array([0.01, -0.05, 0.03], np.float32),
+        leaf_values=np.array([0.9, -0.8, 0.7, -0.6], np.float32),
+    )
+    t2 = WeakTree(
+        left=np.array([0, ], np.int32),
+        right=np.array([-1, ], np.int32),
+        feature_idx=np.array([1], np.int32),
+        threshold=np.array([0.0], np.float32),
+        leaf_values=np.array([0.5, -0.5], np.float32),
+    )
+    m = CascadeModel(
+        feature_type=0,
+        width=20,
+        height=20,
+        stages=[Stage(threshold=0.2, trees=[t1, t2])],
+        features=[
+            HaarFeature(rects=[(2, 2, 8, 8, -1.0), (2, 2, 4, 8, 2.0)]),
+            HaarFeature(rects=[(4, 4, 12, 6, -1.0), (4, 7, 12, 3, 2.0)]),
+            HaarFeature(rects=[(0, 0, 20, 20, -1.0), (5, 5, 10, 10, 4.0)]),
+        ],
+        max_depth=2,
+    )
+    xml = str(tmp_path / "deep.xml")
+    write_cascade_xml(m, xml)
+    det = TPUDetector(m)
+    ours = sorted(map(tuple, det.detect_multi_scale(face_img, 1.2, 0)))
+    ref = _oracle(oracle_bin, xml, face_img, tmp_path, sf="1.2")
+    assert len(ref) > 0  # non-vacuous
+    assert ours == ref

@@ -249,3 +249,80 @@ def test_cascade_trainer_end_to_end(toy_train_dir, oracle_bin, tmp_path):
     tr2 = CascadeTrainer(feature_type=FEATURE_HAAR, win_w=12, win_h=12)
     assert tr2.load(str(d / "data"))
     assert len(tr2.stages) == model.num_stages
+
+
+def _ref_ordered_class_split(values, w, cls, use_gini):
+    """Literal transcription of find_split_ord_class
+    (o_cvboostree.cpp:151-247) for one feature."""
+    order = np.argsort(values, kind="stable")
+    v = values[order]
+    ww = w[order]
+    cc = cls[order]
+    eps = np.float32(1.1920929e-07) * 2
+    lcw = [0.0, 0.0]
+    rcw = [float(ww[cls[order] == 0].sum()), float(ww[cls[order] == 1].sum())]
+    n = len(v)
+    best_val, best_i = -np.inf, -1
+    if use_gini:
+        L, R = 0.0, rcw[0] + rcw[1]
+        lsum2 = 0.0
+        rsum2 = rcw[0] ** 2 + rcw[1] ** 2
+        for i in range(n - 1):
+            wi, k = ww[i], cc[i]
+            L += wi
+            R -= wi
+            lsum2 += 2 * lcw[k] * wi + wi * wi
+            rsum2 -= 2 * rcw[k] * wi - wi * wi
+            lcw[k] += wi
+            rcw[k] -= wi
+            if v[i] + eps < v[i + 1]:
+                val = (lsum2 * R + rsum2 * L) / (L * R)
+                if best_val < val:
+                    best_val, best_i = val, i
+    else:
+        for i in range(n - 1):
+            wi, k = ww[i], cc[i]
+            lcw[k] += wi
+            rcw[k] -= wi
+            if v[i] + eps < v[i + 1]:
+                val = max(lcw[0] + rcw[1], lcw[1] + rcw[0])
+                if best_val < val:
+                    best_val, best_i = val, i
+    thr = np.float32(v[best_i] + v[best_i + 1]) * np.float32(0.5)
+    return best_val, thr
+
+
+@pytest.mark.parametrize("use_gini", [True, False])
+def test_ordered_class_split_matches_reference_scan(use_gini):
+    from cascadeclassifier_tpu.train.boost import _ordered_class_split_block
+
+    rng = np.random.default_rng(3)
+    n, b = 150, 9
+    values = rng.normal(size=(b, n)).astype(np.float32)
+    sort_idx = np.argsort(values, axis=1).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, n)
+    w /= w.sum()
+    cls = rng.integers(0, 2, n).astype(np.int32)
+    mask = np.ones(n, bool)
+    q, thr = _ordered_class_split_block(
+        jnp.asarray(values), jnp.asarray(sort_idx), as_f64(w),
+        jnp.asarray(cls), jnp.asarray(mask), use_gini,
+    )
+    q, thr = np.asarray(q), np.asarray(thr)
+    for i in range(b):
+        rq, rthr = _ref_ordered_class_split(values[i], w, cls, use_gini)
+        assert q[i] == pytest.approx(rq, rel=1e-9), i
+        assert thr[i] == pytest.approx(rthr, abs=1e-6), i
+
+
+def test_dab_leaves_are_plus_minus_c():
+    """DAB weak trees output ±C after per-iteration scaling."""
+    samples, labels = _toy_samples()
+    ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
+    ev.set_samples(samples)
+    stage, _ = StageTrainer(
+        ev, BoostParams(boost_type=BOOST_DAB, weak_count=4)
+    ).train(labels, verbose=False)
+    for t in stage.trees:
+        lv = np.abs(t.leaf_values)
+        assert np.allclose(lv, lv[0], rtol=1e-5)  # |leaf| = C per tree
