@@ -273,3 +273,49 @@ def dense_stage_deep(
         with jax.enable_x64(True):
             return body()
     return body()
+
+
+def canvas_tilted(px, is_top, pad):
+    """Tilted (45°) integral of every pyramid block in the pixel canvas.
+
+    px     : (H, W) int32 canvas pixels (zero rows at block tops, zero
+             first column, zeros right of each block's width)
+    is_top : (H,) bool block zero rows
+    pad    : int ≥ max block height + 1 — boundary errors of the interior
+             recurrence propagate inward one column per row, so padding
+             by the block height keeps the cropped region exact (the same
+             argument as ops/integral._tilted_2d, validated vs cv2)
+
+    Returns (H, W) int32 — per block, the same layout as cv2.integral3's
+    tilted output with row stride W. The recurrence carries reset at block
+    tops so levels never leak into each other."""
+    h, w = px.shape
+    img = px[:, 1:]  # drop the leading zero column; pixel j at col j
+    imgp = jnp.pad(img, ((0, 0), (pad, pad)))
+    wp = (w - 1) + 2 * pad
+    # rows shifted right by one (the img[Y-1, X-1] term)
+    rows = jnp.pad(imgp, ((0, 0), (1, 0)))[:, : wp + 1]
+    zero_row = jnp.zeros((wp + 1,), jnp.int32)
+    prev_rows = jnp.concatenate([zero_row[None], rows[:-1]], axis=0)
+    # img[Y-2, X-1] must not leak across blocks: zero it when row Y-1 is a
+    # block top (the only case where Y-2 belongs to the previous block and
+    # is nonzero)
+    m2 = jnp.concatenate(
+        [jnp.zeros((1,), bool), is_top[:-1]], axis=0
+    )  # True where row Y-1 is a top row
+
+    def step(carry, xs):
+        t1, t2 = carry
+        r1, r2, top, mask2 = xs
+        left = jnp.pad(t1[:-1], (1, 0))
+        right = jnp.pad(t1[1:], (0, 1))
+        t = left + right - t2 + r1 + jnp.where(mask2, 0, r2)
+        t = jnp.where(top, 0, t)
+        t1n = t
+        t2n = jnp.where(top, 0, t1)
+        return (t1n, t2n), t
+
+    (_, _), body = jax.lax.scan(
+        step, (zero_row, zero_row), (rows, prev_rows, is_top, m2)
+    )
+    return body[:, pad : pad + w]

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cascadeclassifier_tpu.detect.dense import (
+    canvas_tilted,
     dense_stage_deep,
     dense_stage_haar,
     dense_stage_lbp,
@@ -159,7 +160,8 @@ def plan_tables(plan: PyramidPlan) -> dict:
     )
 
 
-def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool):
+def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
+                  need_tilted: bool = False, tilt_pad: int = 0):
     """u8 frame → (sum_flat int32, sq_flat int64 | None) canvas integrals."""
     w = img_w
     src = img.reshape(-1).astype(jnp.uint32)
@@ -201,7 +203,11 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool):
             sq = (px.astype(jnp.int64)) ** 2
             csq = jnp.cumsum(jnp.cumsum(sq, axis=1), axis=0)
             sq2d = csq - jnp.take(csq, top, axis=0)
-    return sum2d, sq2d
+
+    tilt2d = None
+    if need_tilted:
+        tilt2d = canvas_tilted(px, tab["is_top"], tilt_pad)
+    return sum2d, sq2d, tilt2d
 
 
 class TPUDetector:
@@ -232,8 +238,14 @@ class TPUDetector:
         out_h = plan.canvas_h - packed.win_h
         out_w = plan.canvas_w - packed.win_w
 
+        need_tilted = packed.has_tilted
+        tilt_pad = int(plan.scaled_h.max()) + 1
+
         def canvas(img, tab):
-            sum2d, sq2d = _build_canvas(img, tab, img_w, img_h, need_sq=is_haar)
+            sum2d, sq2d, tilt2d = _build_canvas(
+                img, tab, img_w, img_h, need_sq=is_haar,
+                need_tilted=need_tilted, tilt_pad=tilt_pad,
+            )
             if is_haar:
                 gate, inv_nf = dense_variance_gate(
                     sum2d, sq2d, packed.win_w, packed.win_h, out_h, out_w
@@ -241,39 +253,68 @@ class TPUDetector:
             else:
                 gate = jnp.ones((out_h, out_w), bool)
                 inv_nf = jnp.zeros((out_h, out_w), jnp.float32)
-            return sum2d, gate, inv_nf
+            if tilt2d is None:
+                tilt2d = sum2d
+            return sum2d, tilt2d, gate, inv_nf
 
         return jax.jit(canvas)
 
-    def _make_stage_fn(self, plan: PyramidPlan, si: int):
+    # Stages are grouped into chunks of ~CHUNK_TREES weak trees per jitted
+    # program: one mega-program exceeds XLA's scheduling memory at 1080p
+    # (tens of GB of live canvas temps), while one program per stage costs
+    # ~24 serialized remote-compile round trips. ~250 trees keeps the live
+    # set a few GB and the program count under ten.
+    CHUNK_TREES = 250
+
+    def _stage_chunks(self):
+        chunks, cur, budget = [], [], 0
+        for si in range(len(self.packed.stages)):
+            cur.append(si)
+            budget += self.packed.stages[si].ntrees
+            if budget >= self.CHUNK_TREES:
+                chunks.append(cur)
+                cur, budget = [], 0
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    def _make_chunk_fn(self, plan: PyramidPlan, stage_ids):
         packed = self.packed
         is_haar = packed.feature_type == FEATURE_HAAR
-        st = packed.stages[si]
         out_h = plan.canvas_h - packed.win_h
         out_w = plan.canvas_w - packed.win_w
-
         exact = self.exact
 
-        def stage(sum2d, inv_nf, alive):
-            if st.deep_trees is not None:
-                ssum = dense_stage_deep(
-                    sum2d, sum2d, st, out_h, out_w, inv_nf, is_haar,
-                    exact=exact,
-                )
-            elif is_haar:
-                ssum = dense_stage_haar(
-                    sum2d, sum2d, st, out_h, out_w, inv_nf, exact=exact
-                )
-            else:
-                ssum = dense_stage_lbp(sum2d, st, out_h, out_w, exact=exact)
-            if exact:
-                with jax.enable_x64(True):
-                    passed = ssum >= jnp.float64(st.threshold)
-            else:
-                passed = ssum >= jnp.float32(st.threshold)
-            return alive & passed, passed
+        def chunk(sum2d, tilt2d, inv_nf, alive):
+            passed0 = None
+            for si in stage_ids:
+                st = packed.stages[si]
+                if st.deep_trees is not None:
+                    ssum = dense_stage_deep(
+                        sum2d, tilt2d, st, out_h, out_w, inv_nf, is_haar,
+                        exact=exact,
+                    )
+                elif is_haar:
+                    ssum = dense_stage_haar(
+                        sum2d, tilt2d, st, out_h, out_w, inv_nf, exact=exact
+                    )
+                else:
+                    ssum = dense_stage_lbp(
+                        sum2d, st, out_h, out_w, exact=exact
+                    )
+                if exact:
+                    with jax.enable_x64(True):
+                        passed = ssum >= jnp.float64(st.threshold)
+                else:
+                    passed = ssum >= jnp.float32(st.threshold)
+                if si == 0:
+                    passed0 = passed
+                alive = alive & passed
+            if passed0 is None:
+                passed0 = alive
+            return alive, passed0
 
-        return jax.jit(stage)
+        return jax.jit(chunk)
 
     def _make_collect_fn(self, plan: PyramidPlan, max_det: int):
         out_h = plan.canvas_h - self.packed.win_h
@@ -295,12 +336,10 @@ class TPUDetector:
 
     def _get_fns(self, key, plan, max_det):
         if key not in self._compiled:
+            chunks = self._stage_chunks()
             self._compiled[key] = (
                 self._make_canvas_fn(plan),
-                [
-                    self._make_stage_fn(plan, si)
-                    for si in range(len(self.packed.stages))
-                ],
+                [(ids, self._make_chunk_fn(plan, ids)) for ids in chunks],
                 self._make_collect_fn(plan, max_det),
                 plan_tables(plan),
             )
@@ -335,13 +374,13 @@ class TPUDetector:
                max_size and tuple(max_size), max_det, self.exact)
         canvas_fn, stage_fns, collect_fn, tab = self._get_fns(key, plan, max_det)
 
-        sum2d, gate, inv_nf = canvas_fn(jnp.asarray(img), tab)
+        sum2d, tilt2d, gate, inv_nf = canvas_fn(jnp.asarray(img), tab)
         alive = gate
         m0 = None
-        for si, sfn in enumerate(stage_fns):
-            alive, passed = sfn(sum2d, inv_nf, alive)
-            if si == 0:
-                m0 = gate & (~passed)
+        for ids, cfn in stage_fns:
+            alive, passed0 = cfn(sum2d, tilt2d, inv_nf, alive)
+            if ids[0] == 0:
+                m0 = gate & (~passed0)
         idx, ok, count = jax.device_get(collect_fn(alive, m0, tab))
         if int(count) > max_det:
             raise RuntimeError(

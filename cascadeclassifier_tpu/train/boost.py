@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import time
 
 import numpy as np
 
@@ -573,7 +574,10 @@ class StageTrainer:
         n_real = int(valid.sum())
         self._is_classifier = p.boost_type in (BOOST_DAB, BOOST_RAB)
         self._cls = labels.astype(np.int32)
+        t0 = time.time()
         cache = FeatureCache(self.ev, self.categorical)
+        if verbose:
+            print(f"Precalculation time: {int(time.time() - t0)}")
 
         orig = labels.astype(np.int32) * 2 - 1  # {−1, +1}
         w = np.where(valid, 1.0 / n_real, 0.0)

@@ -55,6 +55,7 @@ from cascadeclassifier_tpu.train.evaluators import (
     LBPTrainEvaluator,
 )
 from cascadeclassifier_tpu.train.predictor import CascadePredictor
+from cascadeclassifier_tpu.utils.profiling import timed
 
 
 def make_evaluator(feature_type, win_w, win_h, haar_mode=HAAR_BASIC):
@@ -287,7 +288,8 @@ class CascadeTrainer:
 
             pos.restart()
             pos_consumed = [0]
-            pos_samples = self._fill_positives(pos, num_pos, pos_consumed)
+            with timed("fill_positives"):
+                pos_samples = self._fill_positives(pos, num_pos, pos_consumed)
             if len(pos_samples) == 0:
                 print("Train dataset for temp stage can not be filled. "
                       "Branch training terminated.")
@@ -302,9 +304,10 @@ class CascadeTrainer:
                 np.rint(num_neg * len(pos_samples) / num_pos)
             )
             neg_consumed = [0]
-            neg_samples = self._fill_negatives(
-                neg, pro_num_neg, required_leaf_fa, neg_consumed
-            )
+            with timed("fill_negatives"):
+                neg_samples = self._fill_negatives(
+                    neg, pro_num_neg, required_leaf_fa, neg_consumed
+                )
             acceptance = (
                 len(neg_samples) / neg_consumed[0] if neg_consumed[0] else 0.0
             )
@@ -349,10 +352,12 @@ class CascadeTrainer:
                 labels = np.concatenate(
                     [labels, np.zeros(n_pad - n, np.int32)]
                 )
-            self.evaluator.set_samples(samples)
-            stage, _ = StageTrainer(self.evaluator, p).train(
-                labels, valid=valid, verbose=verbose
-            )
+            with timed("set_samples"):
+                self.evaluator.set_samples(samples)
+            with timed("train_stage"):
+                stage, _ = StageTrainer(self.evaluator, p).train(
+                    labels, valid=valid, verbose=verbose
+                )
             if verbose:
                 print("END>")
             if stage is None:

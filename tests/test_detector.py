@@ -4,6 +4,7 @@ The reference's detection path is OpenCV's detectMultiScale
 (tools/detection/Cpp/main.cpp:42-49); these tests assert raw-window and
 grouped-detection parity of our fused TPU pipeline against it."""
 
+import os
 import subprocess
 
 import numpy as np
@@ -153,4 +154,23 @@ def test_deep_tree_parity(oracle_bin, tmp_path, face_img):
     ours = sorted(map(tuple, det.detect_multi_scale(face_img, 1.2, 0)))
     ref = _oracle(oracle_bin, xml, face_img, tmp_path, sf="1.2")
     assert len(ref) > 0  # non-vacuous
+    assert ours == ref
+
+
+def test_tilted_cascade_parity(oracle_bin, tmp_path, face_img):
+    """ALL-mode Haar cascade with tilted features + deep trees
+    (haarcascade_eye_tree_eyeglasses ships both)."""
+    xml = "/usr/share/opencv4/haarcascades/haarcascade_eye_tree_eyeglasses.xml"
+    if not os.path.exists(xml):
+        pytest.skip("pretrained tilted cascade missing")
+    m = read_cascade_xml(xml)
+    assert m.uses_tilted()
+    rng = np.random.default_rng(4)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 256, (240, 320)).astype(np.uint8), (9, 9), 3
+    )
+    det = TPUDetector(m)
+    ours = sorted(map(tuple, det.detect_multi_scale(img, 1.05, 0)))
+    ref = _oracle(oracle_bin, xml, img, tmp_path, sf="1.05")
+    assert len(ref) > 0
     assert ours == ref

@@ -326,3 +326,48 @@ def test_dab_leaves_are_plus_minus_c():
     for t in stage.trees:
         lv = np.abs(t.leaf_values)
         assert np.allclose(lv, lv[0], rtol=1e-5)  # |leaf| = C per tree
+
+
+def test_hog_train_and_detect_round_trip(tmp_path):
+    """HOG cascade: train on toy data, save/load XML, detect with the
+    crop-consistent HOG detector (the reference can train HOG but not
+    detect; this round trip is our own oracle)."""
+    import cv2
+
+    from cascadeclassifier_tpu.data.vec import write_vec
+    from cascadeclassifier_tpu.detect.hog_detector import HOGDetector
+    from cascadeclassifier_tpu.models.model import FEATURE_HOG
+    from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+
+    rng = np.random.default_rng(9)
+    # positives: strong vertical bar (distinct gradient signature)
+    pos = rng.integers(90, 110, (150, 32, 32)).astype(np.uint8)
+    pos[:, :, 12:20] = rng.integers(230, 255, (150, 32, 8))
+    d = tmp_path
+    write_vec(str(d / "pos.vec"), pos)
+    bg = rng.integers(0, 256, (96, 128)).astype(np.uint8)
+    cv2.imwrite(str(d / "bg.png"), bg)
+    with open(d / "bg.txt", "w") as f:
+        f.write(str(d / "bg.png") + "\n")
+
+    tr = CascadeTrainer(feature_type=FEATURE_HOG, win_w=32, win_h=32)
+    model = tr.train(
+        str(d / "data"), str(d / "pos.vec"), str(d / "bg.txt"),
+        num_pos=120, num_neg=100, num_stages=2, verbose=False,
+    )
+    assert model is not None and model.num_stages >= 1
+    m2 = read_cascade_xml(str(d / "data" / "cascade.xml"))
+    assert m2.feat_size == 36 and m2.feature_type == FEATURE_HOG
+
+    # scene: noise background with one pasted positive
+    scene = rng.integers(0, 256, (80, 100)).astype(np.uint8)
+    scene[20:52, 30:62] = pos[0]
+    det = HOGDetector(m2)
+    rects = det.detect_multi_scale(scene, 1.2, 1)
+    assert len(rects) >= 1
+    # at least one detection overlaps the pasted object
+    hit = any(
+        x < 62 and x + w > 30 and y < 52 and y + h > 20
+        for (x, y, w, h) in map(tuple, rects)
+    )
+    assert hit
