@@ -264,7 +264,7 @@ class TPUDetector:
     # (tens of GB of live canvas temps), while one program per stage costs
     # ~24 serialized remote-compile round trips. ~250 trees keeps the live
     # set a few GB and the program count under ten.
-    CHUNK_TREES = 250
+    CHUNK_TREES = 150
 
     def _stage_chunks(self):
         chunks, cur, budget = [], [], 0
@@ -310,6 +310,9 @@ class TPUDetector:
                 if si == 0:
                     passed0 = passed
                 alive = alive & passed
+                # force stage-sequential scheduling: without the barrier XLA
+                # keeps many stages' canvas temps live at once and OOMs
+                alive = jax.lax.optimization_barrier(alive)
             if passed0 is None:
                 passed0 = alive
             return alive, passed0

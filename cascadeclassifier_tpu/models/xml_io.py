@@ -107,8 +107,9 @@ class _W:
 def _write_stage_params(w: _W, m: CascadeModel):
     w.open("stageParams")
     w.text("boostType", BOOST_TYPE_NAMES[m.boost_type])
-    w.scalar("minHitRate", float(m.min_hit_rate))
-    w.scalar("maxFalseAlarm", float(m.max_false_alarm))
+    # the reference stores these two as C floats (boost.h:37-54)
+    w.scalar("minHitRate", float(np.float32(m.min_hit_rate)))
+    w.scalar("maxFalseAlarm", float(np.float32(m.max_false_alarm)))
     w.scalar("weightTrimRate", float(m.weight_trim_rate))
     w.scalar("maxDepth", int(m.max_depth))
     w.scalar("maxWeakCount", int(m.max_weak_count))

@@ -54,6 +54,14 @@ class CvRNG:
     def uniform_double(self, a: float, b: float) -> float:
         return self.to_double() * (b - a) + a
 
+    def uniform_float(self, a: float, b: float) -> float:
+        """cv::RNG::uniform(float, float): a single next() draw."""
+        return float(
+            np.float32(self.next() * np.float32(2.3283064365386963e-10))
+            * np.float32(b - a)
+            + np.float32(a)
+        )
+
 
 def _cv_round(v):
     return int(np.rint(np.float64(v)))
@@ -439,3 +447,71 @@ def show_vec_samples(vec_path, out_dir, width=None, height=None, limit=64):
     for i in range(min(n, limit)):
         cv2.imwrite(os.path.join(out_dir, f"sample_{i:05d}.png"), imgs[i])
     return n
+
+
+def create_test_samples(
+    info_path,
+    img_path,
+    bg_path,
+    count,
+    bgcolor=0,
+    bgthreshold=80,
+    invert=False,
+    maxintensitydev=40,
+    maxxangle=1.1,
+    maxyangle=1.1,
+    maxzangle=0.5,
+    win_w=24,
+    win_h=24,
+    maxscale=-1.0,
+    rngseed=12345,
+):
+    """-img -bg -info mode (cvCreateTestSamples, utility.cpp:1031-1123):
+    write full background images with one distorted object placed at a
+    random position/scale, plus the annotation file."""
+    import os
+
+    import cv2
+
+    rng = CvRNG(rngseed)
+    dist = SampleDistorter(img_path, bgcolor, bgthreshold)
+    bgs = [
+        line for line in open(bg_path).read().splitlines() if line.strip()
+    ]
+    base = os.path.dirname(info_path) or "."
+    os.makedirs(base, exist_ok=True)
+    n = min(count, len(bgs))
+    written = 0
+    with open(info_path, "w") as info:
+        for i in range(n):
+            bg = cv2.imread(bgs[i], cv2.IMREAD_GRAYSCALE)
+            if bg is None:
+                continue
+            ms = maxscale
+            if ms < 0.0:
+                ms = min(
+                    np.float32(0.7) * bg.shape[1] / win_w,
+                    np.float32(0.7) * bg.shape[0] / win_h,
+                )
+            if ms < 1.0:
+                continue
+            scale = np.float32(rng.uniform_float(1.0, float(ms)))
+            width = int(scale * win_w)
+            height = int(scale * win_h)
+            x = int(rng.uniform_double(0.1, 0.8) * (bg.shape[1] - width))
+            y = int(rng.uniform_double(0.1, 0.8) * (bg.shape[0] - height))
+            roi = bg[y : y + height, x : x + width]
+            dist.place(
+                roi,
+                rng,
+                inverse=invert,
+                maxintensitydev=maxintensitydev,
+                maxxangle=maxxangle,
+                maxyangle=maxyangle,
+                maxzangle=maxzangle,
+            )
+            fname = f"{i + 1:04d}_{x:04d}_{y:04d}_{width:04d}_{height:04d}.jpg"
+            info.write(f"{fname} 1 {x} {y} {width} {height}\n")
+            cv2.imwrite(os.path.join(base, fname), bg)
+            written += 1
+    return written

@@ -39,7 +39,17 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     # mode dispatch mirrors createsamples.cpp:184-218
-    if args.img and args.vec:
+    if args.img and args.bg and args.info:
+        n = cs.create_test_samples(
+            args.info, args.img, args.bg, args.num,
+            bgcolor=args.bgcolor, bgthreshold=args.bgthresh,
+            invert=args.inv, maxintensitydev=args.maxidev,
+            maxxangle=args.maxxangle, maxyangle=args.maxyangle,
+            maxzangle=args.maxzangle, win_w=args.win_w, win_h=args.win_h,
+            rngseed=args.rngseed,
+        )
+        print(f"Done. Created {n} test samples")
+    elif args.img and args.vec:
         n = cs.create_training_samples(
             args.vec,
             args.img,

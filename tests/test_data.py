@@ -121,3 +121,17 @@ def test_native_io_matches_python(tmp_path):
         py = NegReader(bg, 24, 24).take_batch(120)
         nat = native.NativeNegReader(bg, 24, 24).take_batch(120)
         np.testing.assert_array_equal(py, nat)
+
+
+def test_missing_files_error_paths(tmp_path):
+    """CvCascadeImageReader::create failure semantics on missing inputs."""
+    with pytest.raises((FileNotFoundError, VecError, OSError)):
+        PosReader(str(tmp_path / "nope.vec"), 24, 24)
+    with pytest.raises(FileNotFoundError):
+        NegReader(str(tmp_path / "nope.txt"), 24, 24)
+    # bg list with only unreadable entries → miner yields nothing
+    bg = str(tmp_path / "bad.txt")
+    with open(bg, "w") as f:
+        f.write(str(tmp_path / "missing.png") + "\n")
+    r = NegReader(bg, 24, 24)
+    assert r.take_batch(3).shape[0] == 0

@@ -371,3 +371,30 @@ def test_hog_train_and_detect_round_trip(tmp_path):
         for (x, y, w, h) in map(tuple, rects)
     )
     assert hit
+
+
+def test_resume_from_reference_checkpoint():
+    """Interop: load a checkpoint directory written by the *reference*
+    trainer binary (golden files under tests/golden/ref_checkpoint were
+    produced by running it on the barcode fixtures)."""
+    d = os.path.join(os.path.dirname(__file__), "golden", "ref_checkpoint")
+    tr = CascadeTrainer()
+    assert tr.load(d)
+    assert tr.feature_type == FEATURE_LBP
+    assert (tr.win_w, tr.win_h) == (75, 32)
+    assert len(tr.stages) == 2
+    assert tr.stages[0].trees[0].feature_idx[0] == 1109
+    assert tr.stages[0].threshold == pytest.approx(1.0)
+
+
+def test_read_reference_trained_cascade():
+    """Our reader consumes the reference binary's cascade.xml output."""
+    from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+
+    p = os.path.join(
+        os.path.dirname(__file__), "golden", "ref_checkpoint", "cascade.xml"
+    )
+    m = read_cascade_xml(p)
+    assert m.feature_type == FEATURE_LBP
+    assert m.num_stages == 2
+    assert len(m.features) == 2  # compacted
