@@ -214,14 +214,33 @@ class TPUDetector:
     """detectMultiScale-compatible detector running each frame as one fused
     TPU program over all pyramid levels."""
 
-    def __init__(self, model: CascadeModel, exact: bool = True):
+    def __init__(self, model: CascadeModel, exact: bool = True,
+                 engine: str = "auto", pallas_interpret: bool = False):
         """exact=True replicates the OpenCV runtime's float64 stage sums
         bit-for-bit; exact=False uses float32 (faster, same detections
-        except knife-edge windows within ~1e-6 of a stage threshold)."""
+        except knife-edge windows within ~1e-6 of a stage threshold).
+
+        engine: 'xla' (dense slice programs, the reference implementation),
+        'pallas' (tiled VMEM kernel with per-tile early exit — Haar stump
+        cascades, implies f32 stage sums), or 'auto' (pallas when
+        exact=False and the cascade qualifies)."""
         self.model = model
         self.exact = exact
         self.packed = PackedCascade.from_model(model)
         self._compiled = {}
+        self.pallas_interpret = pallas_interpret
+        can_pallas = (
+            self.packed.feature_type == FEATURE_HAAR
+            and all(st.deep_trees is None for st in self.packed.stages)
+        )
+        if engine == "auto":
+            self.engine = "pallas" if (not exact and can_pallas) else "xla"
+        else:
+            if engine == "pallas" and not can_pallas:
+                raise ValueError(
+                    "pallas engine supports stump Haar cascades"
+                )
+            self.engine = engine
 
     # -- program builders --------------------------------------------------
     #
@@ -340,9 +359,35 @@ class TPUDetector:
     def _get_fns(self, key, plan, max_det):
         if key not in self._compiled:
             chunks = self._stage_chunks()
+            if self.engine == "pallas":
+                from cascadeclassifier_tpu.detect.pallas_stage import (
+                    make_pallas_chunk_fn,
+                )
+
+                packed = self.packed
+                built = []
+                for ids in chunks:
+                    fn, padded = make_pallas_chunk_fn(
+                        packed.stages,
+                        ids,
+                        packed.win_w,
+                        packed.win_h,
+                        plan.canvas_h,
+                        plan.canvas_w,
+                        collect_passed0=(ids[0] == 0),
+                        use_tilted=packed.has_tilted,
+                        interpret=self.pallas_interpret,
+                    )
+                    built.append((ids, fn, padded))
+                stage_fns = ("pallas", built)
+            else:
+                stage_fns = (
+                    "xla",
+                    [(ids, self._make_chunk_fn(plan, ids)) for ids in chunks],
+                )
             self._compiled[key] = (
                 self._make_canvas_fn(plan),
-                [(ids, self._make_chunk_fn(plan, ids)) for ids in chunks],
+                stage_fns,
                 self._make_collect_fn(plan, max_det),
                 plan_tables(plan),
             )
@@ -374,16 +419,40 @@ class TPUDetector:
             tuple(max_size) if max_size else None,
         )
         key = (w, h, scale_factor, min_size and tuple(min_size),
-               max_size and tuple(max_size), max_det, self.exact)
+               max_size and tuple(max_size), max_det, self.exact, self.engine)
         canvas_fn, stage_fns, collect_fn, tab = self._get_fns(key, plan, max_det)
 
         sum2d, tilt2d, gate, inv_nf = canvas_fn(jnp.asarray(img), tab)
-        alive = gate
-        m0 = None
-        for ids, cfn in stage_fns:
-            alive, passed0 = cfn(sum2d, tilt2d, inv_nf, alive)
-            if ids[0] == 0:
-                m0 = gate & (~passed0)
+        kind, chunks = stage_fns
+        if kind == "pallas":
+            out_h = plan.canvas_h - self.packed.win_h
+            out_w = plan.canvas_w - self.packed.win_w
+            hp, wp, halo_h, halo_w = chunks[0][2]
+            sum_pad = jnp.zeros((hp + halo_h, wp + halo_w), jnp.int32)
+            sum_pad = sum_pad.at[: plan.canvas_h, : plan.canvas_w].set(sum2d)
+            if self.packed.has_tilted:
+                tilt_pad = jnp.zeros((hp + halo_h, wp + halo_w), jnp.int32)
+                tilt_pad = tilt_pad.at[: plan.canvas_h, : plan.canvas_w].set(
+                    tilt2d
+                )
+            else:
+                tilt_pad = jnp.zeros((8, 128), jnp.int32)
+            inv_pad = jnp.ones((hp, wp), jnp.float32)
+            inv_pad = inv_pad.at[:out_h, :out_w].set(inv_nf)
+            alive = jnp.zeros((hp, wp), bool).at[:out_h, :out_w].set(gate)
+            m0 = None
+            for ids, cfn, _pad in chunks:
+                alive, passed0 = cfn(sum_pad, tilt_pad, inv_pad, alive)
+                if ids[0] == 0:
+                    m0 = gate & (~passed0[:out_h, :out_w])
+            alive = alive[:out_h, :out_w]
+        else:
+            alive = gate
+            m0 = None
+            for ids, cfn in chunks:
+                alive, passed0 = cfn(sum2d, tilt2d, inv_nf, alive)
+                if ids[0] == 0:
+                    m0 = gate & (~passed0)
         idx, ok, count = jax.device_get(collect_fn(alive, m0, tab))
         if int(count) > max_det:
             raise RuntimeError(

@@ -174,3 +174,14 @@ def test_tilted_cascade_parity(oracle_bin, tmp_path, face_img):
     ref = _oracle(oracle_bin, xml, img, tmp_path, sf="1.05")
     assert len(ref) > 0
     assert ours == ref
+
+
+def test_pallas_engine_matches_xla(face_img):
+    """The Pallas tiled kernel (interpret mode on CPU) must reproduce the
+    XLA dense path exactly."""
+    m = read_cascade_xml(HAAR_ALT)
+    xla = TPUDetector(m, exact=False, engine="xla")
+    pal = TPUDetector(m, exact=False, engine="pallas", pallas_interpret=True)
+    a = sorted(map(tuple, xla.detect_multi_scale(face_img, 1.2, 0)))
+    b = sorted(map(tuple, pal.detect_multi_scale(face_img, 1.2, 0)))
+    assert a == b and len(a) > 0
