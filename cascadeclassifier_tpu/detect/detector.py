@@ -365,6 +365,9 @@ class TPUDetector:
                 )
 
                 packed = self.packed
+                # scalar-prefetch params must fit SMEM (~150 trees/kernel);
+                # dead tiles skip the whole chunk body including the DMA,
+                # so later chunks cost ~nothing for tiles that already died
                 built = []
                 for ids in chunks:
                     fn, padded = make_pallas_chunk_fn(
@@ -431,10 +434,16 @@ class TPUDetector:
             sum_pad = jnp.zeros((hp + halo_h, wp + halo_w), jnp.int32)
             sum_pad = sum_pad.at[: plan.canvas_h, : plan.canvas_w].set(sum2d)
             if self.packed.has_tilted:
-                tilt_pad = jnp.zeros((hp + halo_h, wp + halo_w), jnp.int32)
-                tilt_pad = tilt_pad.at[: plan.canvas_h, : plan.canvas_w].set(
-                    tilt2d
+                from cascadeclassifier_tpu.detect.pallas_stage import (
+                    TILT_BIAS,
                 )
+
+                # the kernel biases tilted lane offsets by +TILT_BIAS so
+                # x-h never goes negative; shift the canvas to match
+                tilt_pad = jnp.zeros((hp + halo_h, wp + halo_w), jnp.int32)
+                tilt_pad = tilt_pad.at[
+                    : plan.canvas_h, TILT_BIAS : TILT_BIAS + plan.canvas_w
+                ].set(tilt2d)
             else:
                 tilt_pad = jnp.zeros((8, 128), jnp.int32)
             inv_pad = jnp.ones((hp, wp), jnp.float32)

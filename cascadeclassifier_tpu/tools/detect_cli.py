@@ -23,6 +23,12 @@ def main(argv=None):
     p.add_argument("--max-size", type=int, nargs=2, default=None)
     p.add_argument("-o", "--output", default=None,
                    help="write annotated image here")
+    p.add_argument("--fast", action="store_true",
+                   help="float32 stage sums (~4x faster, near-exact)")
+    p.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   default="auto", help="stage-evaluation engine")
+    p.add_argument("--pallas-interpret", action="store_true",
+                   help=argparse.SUPPRESS)  # debug: run kernels interpreted
     args = p.parse_args(argv)
 
     import cv2
@@ -34,7 +40,12 @@ def main(argv=None):
     if img is None:
         print(f"cannot read {args.image}", file=sys.stderr)
         return 1
-    det = TPUDetector(read_cascade_xml(args.cascade))
+    det = TPUDetector(
+        read_cascade_xml(args.cascade),
+        exact=not args.fast,
+        engine=args.engine,
+        pallas_interpret=args.pallas_interpret,
+    )
     rects = det.detect_multi_scale(
         img,
         scale_factor=args.scale_factor,
