@@ -160,36 +160,65 @@ def plan_tables(plan: PyramidPlan) -> dict:
     )
 
 
-def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
-                  need_tilted: bool = False, tilt_pad: int = 0):
-    """u8 frame → (sum_flat int32, sq_flat int64 | None) canvas integrals."""
-    w = img_w
-    src = img.reshape(-1).astype(jnp.uint32)
-    sx0 = tab["sx0"]
-    sx1 = jnp.minimum(sx0 + 1, w - 1)
-    cx = tab["cx"]
-    sy0 = tab["sy0"]
-    sy1 = jnp.minimum(sy0 + 1, img_h - 1)
-    cy = tab["cy"][:, None]
+def _resize_matrices(plan):
+    """Banded INTER_LINEAR_EXACT resample matrices for the MXU resize.
 
-    def row_gather(sy):
-        rowbase = (sy * w)[:, None]
-        v0 = jnp.take(src, rowbase + sx0)
-        v1 = jnp.take(src, rowbase + sx1)
-        return (256 - cx) * v0 + cx * v1
+    The row pass is one (canvas_h, img_h) matrix shared by every level;
+    the column pass is one (img_w, w_s) matrix per level. Coefficients are
+    integers ≤ 256 (exact in bfloat16), so the matmuls reproduce the
+    fixed-point gather arithmetic bit-for-bit (see _build_canvas)."""
+    from cascadeclassifier_tpu.ops.resize import _axis_tab
 
-    h0 = row_gather(sy0)
-    h1 = row_gather(sy1)
-    v = (256 - cy) * h0 + cy * h1
-    px = jnp.minimum((v + (1 << 15)) >> 16, 255).astype(jnp.int32)
+    R = np.zeros((plan.canvas_h, plan.img_h), np.float32)
+    cols = []
+    for s in range(len(plan.scales)):
+        t = int(plan.block_top[s])
+        h_s, w_s = int(plan.scaled_h[s]), int(plan.scaled_w[s])
+        ys, cys = _axis_tab(plan.img_h, h_s)
+        xs, cxs = _axis_tab(plan.img_w, w_s)
+        rows = np.arange(t + 1, t + h_s + 1)
+        np.add.at(R, (rows, ys), 256 - cys)
+        np.add.at(R, (rows, np.minimum(ys + 1, plan.img_h - 1)), cys)
+        C = np.zeros((plan.img_w, w_s), np.float32)
+        np.add.at(C, (xs, np.arange(w_s)), 256 - cxs)
+        np.add.at(C, (np.minimum(xs + 1, plan.img_w - 1), np.arange(w_s)), cxs)
+        cols.append((t, h_s, w_s, jnp.asarray(C, jnp.bfloat16)))
+    return jnp.asarray(R, jnp.bfloat16), cols
 
-    colix = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
-    valid = (
-        (colix >= 1)
-        & (colix <= tab["row_w"][:, None])
-        & (~tab["is_top"])[:, None]
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    px = jnp.where(valid, px, 0)
+
+
+def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
+                  need_tilted: bool = False, tilt_pad: int = 0,
+                  resize_mats=None):
+    """u8 frame → (sum_flat int32, sq_flat int64 | None) canvas integrals.
+
+    The resize runs on the MXU: H = R @ img blends rows (coeffs ≤ 256 and
+    u8 pixels are bfloat16-exact; f32 accumulation exact up to 65280), then
+    per-level column matmuls on H's 8-bit limbs recombine into the exact
+    int32 fixed-point sum, and (v + 2^15) >> 16 rounds exactly as the
+    per-pixel gather formulation did (bit-validated against
+    INTER_LINEAR_EXACT)."""
+    R, cols = resize_mats
+    H = _mm(R, img.astype(jnp.bfloat16))  # (canvas_h, img_w) ints ≤ 65280
+    Hi = (H.astype(jnp.int32) >> 8).astype(jnp.bfloat16)
+    Lo = (H.astype(jnp.int32) & 0xFF).astype(jnp.bfloat16)
+    canvas_w = tab["sx0"].shape[1]
+    px = jnp.zeros((R.shape[0], canvas_w), jnp.int32)
+    for (t, h_s, w_s, C) in cols:
+        hi = jax.lax.slice(Hi, (t + 1, 0), (t + 1 + h_s, img_w))
+        lo = jax.lax.slice(Lo, (t + 1, 0), (t + 1 + h_s, img_w))
+        v = (
+            jax.lax.shift_left(_mm(hi, C).astype(jnp.int32), jnp.int32(8))
+            + _mm(lo, C).astype(jnp.int32)
+        )
+        lvl = jnp.minimum((v + (1 << 15)) >> 16, 255)
+        px = jax.lax.dynamic_update_slice(px, lvl, (t + 1, 1))
 
     top = tab["top_of_row"]
     # inclusive 2D cumsum; int32 wrap-around is exact after per-block
@@ -220,25 +249,32 @@ class TPUDetector:
         bit-for-bit; exact=False uses float32 (faster, same detections
         except knife-edge windows within ~1e-6 of a stage threshold).
 
-        engine: 'xla' (dense slice programs, the reference implementation),
-        'pallas' (tiled VMEM kernel with per-tile early exit — Haar stump
-        cascades, implies f32 stage sums), or 'auto' (pallas when
-        exact=False and the cascade qualifies)."""
+        engine: 'xla' (dense slice programs at every stage), 'compact'
+        (dense front + survivor compaction + MXU matmul tail — Haar stump
+        cascades; the fastest engine and the default via 'auto'), 'pallas'
+        (tiled VMEM kernel with per-tile early exit — Haar stump cascades,
+        implies f32 stage sums), or 'auto' (compact when the cascade
+        qualifies, else xla)."""
         self.model = model
         self.exact = exact
         self.packed = PackedCascade.from_model(model)
         self._compiled = {}
         self.pallas_interpret = pallas_interpret
-        can_pallas = (
+        # compaction: switch from dense to the gathered tail once the
+        # survivor count drops to trigger_n, processed in batches of
+        # compact_batch windows (fixed shapes to bound recompiles)
+        self.trigger_n = 1 << 18
+        self.compact_batch = 1 << 15
+        can_stump_haar = (
             self.packed.feature_type == FEATURE_HAAR
             and all(st.deep_trees is None for st in self.packed.stages)
         )
         if engine == "auto":
-            self.engine = "pallas" if (not exact and can_pallas) else "xla"
+            self.engine = "compact" if can_stump_haar else "xla"
         else:
-            if engine == "pallas" and not can_pallas:
+            if engine in ("pallas", "compact") and not can_stump_haar:
                 raise ValueError(
-                    "pallas engine supports stump Haar cascades"
+                    f"{engine} engine supports stump Haar cascades"
                 )
             self.engine = engine
 
@@ -259,11 +295,13 @@ class TPUDetector:
 
         need_tilted = packed.has_tilted
         tilt_pad = int(plan.scaled_h.max()) + 1
+        resize_mats = _resize_matrices(plan)
 
         def canvas(img, tab):
             sum2d, sq2d, tilt2d = _build_canvas(
                 img, tab, img_w, img_h, need_sq=is_haar,
                 need_tilted=need_tilted, tilt_pad=tilt_pad,
+                resize_mats=resize_mats,
             )
             if is_haar:
                 gate, inv_nf = dense_variance_gate(
@@ -383,6 +421,10 @@ class TPUDetector:
                     )
                     built.append((ids, fn, padded))
                 stage_fns = ("pallas", built)
+            elif self.engine == "compact":
+                # per-stage dense fns / tail fns are built lazily per frame
+                # content (survivor-count dependent) and cached in this dict
+                stage_fns = ("compact", {})
             else:
                 stage_fns = (
                     "xla",
@@ -395,6 +437,82 @@ class TPUDetector:
                 plan_tables(plan),
             )
         return self._compiled[key]
+
+    # -- compact engine ----------------------------------------------------
+
+    # tail start stages are quantized to these values so frames with
+    # different survivor curves share compiled tail programs; the tail
+    # re-evaluating an already-passed stage is redundant but harmless
+    # (the same deterministic stage sum passes again)
+    _TAIL_STARTS = (1, 2, 3, 4, 6, 8, 12, 16)
+
+    def _run_compact(self, plan, cache, sum2d, tilt2d, gate, inv_nf):
+        """Dense stages with host-side survivor counts, then the MXU tail
+        (detect/compact.py) on the compacted survivor set."""
+        from cascadeclassifier_tpu.detect.compact import (
+            make_patchify_fn,
+            make_tail_fn,
+        )
+
+        packed = self.packed
+        n_stages = len(packed.stages)
+        out_w = plan.canvas_w - packed.win_w
+        batch = self.compact_batch
+
+        alive = gate
+        m0 = None
+        k = 0
+        cnt = None
+        while k < n_stages:
+            cnt = int(jnp.sum(alive))
+            if (k > 0 and cnt <= self.trigger_n) or cnt == 0:
+                break
+            if ("stage", k) not in cache:
+                cache[("stage", k)] = self._make_chunk_fn(plan, [k])
+            alive, passed0 = cache[("stage", k)](sum2d, tilt2d, inv_nf, alive)
+            if k == 0:
+                m0 = gate & (~passed0)
+            k += 1
+
+        if m0 is None:  # gate empty before stage 0 ever ran
+            m0 = jnp.zeros_like(gate)
+        if k >= n_stages or cnt == 0:
+            return alive, m0
+
+        kq = max(s for s in self._TAIL_STARTS if s <= k)
+        if ("tail", kq) not in cache:
+            cache[("tail", kq)] = make_tail_fn(packed, kq, self.exact)
+        if "patchify" not in cache:
+            cache["patchify"] = make_patchify_fn(
+                packed.win_w, packed.win_h, packed.has_tilted
+            )
+        tail_fn = cache[("tail", kq)]
+        patchify = cache["patchify"]
+
+        nb = -(-cnt // batch)
+        flat = alive.reshape(-1)
+        idx = jnp.nonzero(flat, size=nb * batch, fill_value=0)[0]
+        valid = jnp.arange(nb * batch) < cnt
+        inv_flat = inv_nf.reshape(-1)
+        keep = []
+        for b in range(nb):
+            sl = slice(b * batch, (b + 1) * batch)
+            ib = idx[sl]
+            r = (ib // out_w).astype(jnp.int32)
+            c = (ib % out_w).astype(jnp.int32)
+            ps, pt = patchify(sum2d, tilt2d, r, c)
+            keep.append(tail_fn(ps, pt, inv_flat[ib]) & valid[sl])
+        tail_alive = jnp.concatenate(keep) if nb > 1 else keep[0]
+        # .max instead of .set: padded idx entries are 0 and must not
+        # clobber a genuine survivor at flat index 0
+        alive = (
+            jnp.zeros(flat.shape, jnp.int8)
+            .at[idx]
+            .max(tail_alive.astype(jnp.int8))
+            .reshape(alive.shape)
+            != 0
+        )
+        return alive, m0
 
     # -- public API --------------------------------------------------------
 
@@ -455,6 +573,10 @@ class TPUDetector:
                 if ids[0] == 0:
                     m0 = gate & (~passed0[:out_h, :out_w])
             alive = alive[:out_h, :out_w]
+        elif kind == "compact":
+            alive, m0 = self._run_compact(
+                plan, chunks, sum2d, tilt2d, gate, inv_nf
+            )
         else:
             alive = gate
             m0 = None

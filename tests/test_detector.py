@@ -185,3 +185,18 @@ def test_pallas_engine_matches_xla(face_img):
     a = sorted(map(tuple, xla.detect_multi_scale(face_img, 1.2, 0)))
     b = sorted(map(tuple, pal.detect_multi_scale(face_img, 1.2, 0)))
     assert a == b and len(a) > 0
+
+
+def test_compact_engine_matches_xla(face_img):
+    """The survivor-compaction engine (dense front + MXU limb-matmul tail)
+    must reproduce the XLA dense path exactly, in both precision modes."""
+    m = read_cascade_xml(HAAR_ALT)
+    for exact in (True, False):
+        xla = TPUDetector(m, exact=exact, engine="xla")
+        cmp_ = TPUDetector(m, exact=exact, engine="compact")
+        # small trigger forces the tail path even on a small test image
+        cmp_.trigger_n = 1 << 12
+        cmp_.compact_batch = 1 << 10
+        a = sorted(map(tuple, xla.detect_multi_scale(face_img, 1.2, 0)))
+        b = sorted(map(tuple, cmp_.detect_multi_scale(face_img, 1.2, 0)))
+        assert a == b and len(a) > 0
