@@ -228,10 +228,13 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
 
     sq2d = None
     if need_sq:
-        with jax.enable_x64(True):
-            sq = (px.astype(jnp.int64)) ** 2
-            csq = jnp.cumsum(jnp.cumsum(sq, axis=1), axis=0)
-            sq2d = csq - jnp.take(csq, top, axis=0)
+        # int32 with wrap-around: window sq-sums (≤ 255²·win²) fit int32,
+        # so corner differences recover the true value exactly — the same
+        # wrap-safety argument as sum2d; avoids emulated int64 cumsums
+        sq = px * px
+        csq = jnp.cumsum(jnp.cumsum(sq, axis=1, dtype=jnp.int32), axis=0,
+                         dtype=jnp.int32)
+        sq2d = csq - jnp.take(csq, top, axis=0)
 
     tilt2d = None
     if need_tilted:
@@ -440,6 +443,36 @@ class TPUDetector:
 
     # -- compact engine ----------------------------------------------------
 
+    def _extract_patches(self, cache, plan, n, sum2d, tilt2d, r, c):
+        """Survivor patch extraction: pallas DMA kernel on TPU, vmap'd
+        dynamic_slice elsewhere (the XLA gather runs at ~4 ns/element)."""
+        from cascadeclassifier_tpu.detect.compact import (
+            make_pallas_patchify,
+            make_patchify_fn,
+            pad_canvas_for_patchify,
+        )
+
+        packed = self.packed
+        if jax.default_backend() == "tpu":
+            if ("ppatch", n) not in cache:
+                cache[("ppatch", n)] = make_pallas_patchify(
+                    packed.win_w, packed.win_h,
+                    plan.canvas_h, plan.canvas_w, n,
+                )[0]
+            fn = cache[("ppatch", n)]
+            ps = fn(pad_canvas_for_patchify(sum2d, packed.win_h), r, c)
+            pt = (
+                fn(pad_canvas_for_patchify(tilt2d, packed.win_h), r, c)
+                if packed.has_tilted
+                else ps[:, :1]
+            )
+            return ps, pt
+        if "patchify" not in cache:
+            cache["patchify"] = make_patchify_fn(
+                packed.win_w, packed.win_h, packed.has_tilted
+            )
+        return cache["patchify"](sum2d, tilt2d, r, c)
+
     # tail start stages are quantized to these values so frames with
     # different survivor curves share compiled tail programs; the tail
     # re-evaluating an already-passed stage is redundant but harmless
@@ -450,6 +483,7 @@ class TPUDetector:
         """Dense stages with host-side survivor counts, then the MXU tail
         (detect/compact.py) on the compacted survivor set."""
         from cascadeclassifier_tpu.detect.compact import (
+            make_nonzero_fn,
             make_patchify_fn,
             make_tail_fn,
         )
@@ -482,31 +516,26 @@ class TPUDetector:
         kq = max(s for s in self._TAIL_STARTS if s <= k)
         if ("tail", kq) not in cache:
             cache[("tail", kq)] = make_tail_fn(packed, kq, self.exact)
-        if "patchify" not in cache:
-            cache["patchify"] = make_patchify_fn(
-                packed.win_w, packed.win_h, packed.has_tilted
-            )
         tail_fn = cache[("tail", kq)]
-        patchify = cache["patchify"]
 
         nb = -(-cnt // batch)
-        flat = alive.reshape(-1)
-        idx = jnp.nonzero(flat, size=nb * batch, fill_value=0)[0]
-        valid = jnp.arange(nb * batch) < cnt
-        inv_flat = inv_nf.reshape(-1)
-        keep = []
-        for b in range(nb):
-            sl = slice(b * batch, (b + 1) * batch)
-            ib = idx[sl]
-            r = (ib // out_w).astype(jnp.int32)
-            c = (ib % out_w).astype(jnp.int32)
-            ps, pt = patchify(sum2d, tilt2d, r, c)
-            keep.append(tail_fn(ps, pt, inv_flat[ib]) & valid[sl])
-        tail_alive = jnp.concatenate(keep) if nb > 1 else keep[0]
+        # quantize to powers of two: every distinct n compiles its own
+        # nonzero/patchify/tail programs
+        nb = 1 << (nb - 1).bit_length()
+        n = nb * batch
+        out_h = alive.shape[0]
+        if ("nonzero", n) not in cache:
+            cache[("nonzero", n)] = make_nonzero_fn(out_h, out_w, n)
+        idx = cache[("nonzero", n)](alive)
+        r = (idx // out_w).astype(jnp.int32)
+        c = (idx % out_w).astype(jnp.int32)
+        ps, pt = self._extract_patches(cache, plan, n, sum2d, tilt2d, r, c)
+        valid = jnp.arange(n) < cnt
+        tail_alive = tail_fn(ps, pt, inv_nf.reshape(-1)[idx]) & valid
         # .max instead of .set: padded idx entries are 0 and must not
         # clobber a genuine survivor at flat index 0
         alive = (
-            jnp.zeros(flat.shape, jnp.int8)
+            jnp.zeros(out_h * out_w, jnp.int8)
             .at[idx]
             .max(tail_alive.astype(jnp.int8))
             .reshape(alive.shape)

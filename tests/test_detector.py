@@ -200,3 +200,27 @@ def test_compact_engine_matches_xla(face_img):
         a = sorted(map(tuple, xla.detect_multi_scale(face_img, 1.2, 0)))
         b = sorted(map(tuple, cmp_.detect_multi_scale(face_img, 1.2, 0)))
         assert a == b and len(a) > 0
+
+
+def test_pallas_patchify_interpret():
+    """The pallas patch extractor must reproduce vmap'd dynamic_slice."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.compact import (
+        make_pallas_patchify, pad_canvas_for_patchify,
+    )
+
+    rng = np.random.default_rng(1)
+    H, W, win = 400, 300, 20
+    canvas = rng.integers(-(2**31), 2**31 - 1, (H, W), dtype=np.int64)
+    canvas = jnp.asarray(canvas.astype(np.int32))
+    N = 64
+    r = rng.integers(0, H - win - 1, N).astype(np.int32)
+    c = rng.integers(0, W - win - 1, N).astype(np.int32)
+    fn, (_, PF) = make_pallas_patchify(win, win, H, W, N, interpret=True)
+    got = np.asarray(fn(pad_canvas_for_patchify(canvas, win),
+                        jnp.asarray(r), jnp.asarray(c)))
+    P = (win + 1) * (win + 1)
+    cn = np.asarray(canvas)
+    for w in range(N):
+        want = cn[r[w]:r[w] + win + 1, c[w]:c[w] + win + 1].reshape(-1)
+        assert np.array_equal(got[w, :P], want), f"window {w}"
