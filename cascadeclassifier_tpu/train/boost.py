@@ -71,30 +71,25 @@ def _log_ratio(p):
 
 
 @jax.jit
-def _ordered_split_block(values, sort_idx, w, resp, mask):
-    """Best weighted regression split per feature.
+def _ordered_split_sorted(vs, ws, rs, kept, total_w, total_r):
+    """Best weighted regression split per feature, sorted domain.
 
-    values  : (B, N) f32 feature responses
-    sort_idx: (B, N) i32 per-feature ascending sample order
-    w       : (N,) f64 boosting weights
-    resp    : (N,) f64 regression targets
-    mask    : (N,) bool subsample mask (weight trimming)
+    vs  : (B, N) f32 feature responses, ascending per row
+    ws  : (B, N) f64 masked weights in that order (0 where dropped)
+    rs  : (B, N) f64 masked weight·response in that order
+    kept: (B, N) bool subsample mask in that order
+    total_w/total_r: f64 scalars summed in the ORIGINAL sample order (f64
+    summation order is part of the reference arithmetic being replicated)
     returns (quality (B,) f64, thr (B,) f32) — quality −inf if no split.
 
     Replicates find_split_ord_reg (o_cvboostree.cpp:361-426): split allowed
     between adjacent in-subsample samples whose values differ by more than
-    2·FLT_EPSILON; threshold is their midpoint.
+    2·FLT_EPSILON; threshold is their midpoint. Inputs arrive pre-sorted:
+    the (B, N) gathers along each feature's sample order are the expensive
+    part (~10 ns/element on TPU), so the caller gathers the per-iteration
+    weights once and derives everything else from per-stage caches.
     """
     with jax.enable_x64(True):
-        wm = jnp.where(mask, w, 0.0)
-        rm = wm * resp
-        vs = jnp.take_along_axis(values, sort_idx, axis=1)
-        ws = wm[sort_idx]
-        rs = rm[sort_idx]
-        kept = mask[sort_idx]
-
-        total_w = jnp.sum(wm)
-        total_r = jnp.sum(rm)
         lw = jnp.cumsum(ws, axis=1)
         lr = jnp.cumsum(rs, axis=1)
         rw = total_w - lw
@@ -124,12 +119,27 @@ def _ordered_split_block(values, sort_idx, w, resp, mask):
         best = jnp.minimum(best, qual.shape[1] - 1)
         bv = jnp.take_along_axis(vs, best[:, None], axis=1)[:, 0]
         bn = jnp.take_along_axis(nxt, best[:, None], axis=1)[:, 0]
-        thr = ((bv + bn.astype(jnp.float64)) * 0.5).astype(jnp.float32)
         # reference computes the midpoint in float32
-        thr2 = (
+        thr = (
             bv.astype(jnp.float32) + bn.astype(jnp.float32)
         ) * np.float32(0.5)
-        return bq, thr2
+        return bq, thr
+
+
+def _ordered_split_block(values, sort_idx, w, resp, mask):
+    """Unsorted-domain wrapper over _ordered_split_sorted (the dtree and
+    sharded callers pass per-node weights where caching sorted views has
+    no payoff)."""
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        rm = wm * resp
+        vs = jnp.take_along_axis(values, sort_idx, axis=1)
+        ws = wm[sort_idx]
+        rs = rm[sort_idx]
+        kept = mask[sort_idx]
+        return _ordered_split_sorted(
+            vs, ws, rs, kept, jnp.sum(wm), jnp.sum(rm)
+        )
 
 
 @jax.jit
@@ -201,24 +211,15 @@ def _categorical_split_block(codes, w, resp, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("use_gini",))
-def _ordered_class_split_block(values, sort_idx, w, cls, mask, use_gini):
-    """Best weighted two-class split per feature (find_split_ord_class,
-    o_cvboostree.cpp:151-247). cls: (N,) int {0,1}. GINI quality is
-    (Σ_k lcw_k²·R + Σ_k rcw_k²·L)/(L·R); MISCLASS is
-    max(lcw0+rcw1, lcw1+rcw0)."""
+def _ordered_class_split_sorted(vs, ws, cls_s, kept, t0, t1, use_gini):
+    """Sorted-domain two-class split (see _ordered_split_sorted for the
+    caching rationale). cls_s: (B, N) int {0,1} in sorted order; t0/t1:
+    f64 class weight totals summed in the original sample order."""
     with jax.enable_x64(True):
-        wm = jnp.where(mask, w, 0.0)
-        vs = jnp.take_along_axis(values, sort_idx, axis=1)
-        ws = wm[sort_idx]
-        cls_s = cls[sort_idx]
-        kept = mask[sort_idx]
-
         w1s = jnp.where(cls_s == 1, ws, 0.0)
         w0s = ws - w1s
         c0 = jnp.cumsum(w0s, axis=1)
         c1 = jnp.cumsum(w1s, axis=1)
-        t0 = jnp.sum(jnp.where(cls == 0, wm, 0.0))
-        t1 = jnp.sum(wm) - t0
         r0 = t0 - c0
         r1 = t1 - c1
 
@@ -252,6 +253,21 @@ def _ordered_class_split_block(values, sort_idx, w, cls, mask, use_gini):
             bv.astype(jnp.float32) + bn.astype(jnp.float32)
         ) * np.float32(0.5)
         return bq, thr
+
+
+def _ordered_class_split_block(values, sort_idx, w, cls, mask, use_gini):
+    """Unsorted-domain wrapper over _ordered_class_split_sorted (dtree /
+    sharded callers)."""
+    with jax.enable_x64(True):
+        wm = jnp.where(mask, w, 0.0)
+        vs = jnp.take_along_axis(values, sort_idx, axis=1)
+        ws = wm[sort_idx]
+        cls_s = cls[sort_idx]
+        kept = mask[sort_idx]
+        t0 = jnp.sum(jnp.where(cls == 0, wm, 0.0))
+        t1 = jnp.sum(wm) - t0
+        return _ordered_class_split_sorted(vs, ws, cls_s, kept, t0, t1,
+                                           use_gini)
 
 
 @functools.partial(jax.jit, static_argnames=("use_gini",))
@@ -368,18 +384,80 @@ class FeatureCache:
         self.categorical = categorical
         self.values = []
         self.sort_idx = []
+        self.vs = []  # values in sorted order (weak-iteration invariant)
         for b in range(evaluator.num_blocks()):
             v = evaluator.values_block(b)
-            if categorical:
-                self.values.append(v)
-            else:
-                self.values.append(v)
-                self.sort_idx.append(
-                    jnp.argsort(v, axis=1).astype(jnp.int32)
-                )
+            self.values.append(v)
+            if not categorical:
+                si = jnp.argsort(v, axis=1).astype(jnp.int32)
+                self.sort_idx.append(si)
+                self.vs.append(jnp.take_along_axis(v, si, axis=1))
+        self.valid_sorted = None
+        self.aux_sorted = None  # resp (regression) or cls (classification)
+
+    def set_stage(self, valid, aux):
+        """Cache per-stage sorted views: the (B, N) gathers along each
+        feature's sample order cost ~10 ns/element, so everything that is
+        constant across weak iterations is gathered exactly once."""
+        if self.categorical:
+            return
+        vj = jnp.asarray(valid)
+        aj = jnp.asarray(aux)
+        self.valid_sorted = [vj[si] for si in self.sort_idx]
+        self.aux_sorted = [aj[si] for si in self.sort_idx]
 
     def var_base(self, b):
         return self.ev.block_slice(b)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("classifier", "use_gini", "resp_static")
+)
+def _block_split_fast(vs, si, valid_s, aux_s, w64, resp64, cls, valid,
+                      wthr, classifier, use_gini, resp_static):
+    """One block's split search with a single per-iteration (B, N) gather.
+
+    The weight-trimming subsample is a pure weight threshold
+    (trim_weights, o_cvboost.cpp:101-139), so the sorted mask derives from
+    the sorted weights; sorted values / validity / targets come from the
+    per-stage cache. Class/response totals are summed in the original
+    sample order (f64 summation order is replicated reference arithmetic).
+    """
+    with jax.enable_x64(True):
+        ws_raw = w64[si]  # THE gather (~10 ns/element)
+        kept = valid_s & (ws_raw >= wthr)
+        ws = jnp.where(kept, ws_raw, 0.0)
+        mask = valid & (w64 >= wthr)
+        wm = jnp.where(mask, w64, 0.0)
+        if classifier:
+            t0 = jnp.sum(jnp.where(cls == 0, wm, 0.0))
+            t1 = jnp.sum(wm) - t0
+            q, thr = _ordered_class_split_sorted(
+                vs, ws, aux_s, kept, t0, t1, use_gini
+            )
+        else:
+            if resp_static:
+                rs = ws * aux_s
+            else:
+                rs = jnp.where(kept, ws_raw * resp64[si], 0.0)
+            rm = wm * resp64
+            q, thr = _ordered_split_sorted(
+                vs, ws, rs, kept, jnp.sum(wm), jnp.sum(rm)
+            )
+        qm, i = _best_of_block(q)
+        return qm, i, thr[i]
+
+
+def _best_of_block(q):
+    """Device (max, first-argmax) — jnp.argmax mis-lowers inside x64
+    scopes on this toolchain, so use a min-index-of-max reduction. Runs
+    under its own x64 scope: outside one, JAX truncates f64 operands to
+    f32 and the cross-block quality ranking loses reference precision."""
+    with jax.enable_x64(True):
+        qm = jnp.max(q)
+        n = q.shape[0]
+        i = jnp.min(jnp.where(q == qm, jnp.arange(n), n))
+        return qm, jnp.minimum(i, n - 1)
 
 
 class StageTrainer:
@@ -393,23 +471,32 @@ class StageTrainer:
 
     # -- weak-tree construction --------------------------------------------
 
-    def _find_best_split(self, cache, w, resp, mask):
+    def _find_best_split(self, cache, w, resp, mask, wthr=None):
         """Global best split across every feature. Returns
         (var_idx, thr_or_subset) or None.
 
         GAB/LB grow regression trees (find_split_*_reg); DAB/RAB grow
         two-class classification trees with MISCLASS/GINI criteria
-        (set_params mapping, o_cvboost.cpp:67-99)."""
-        best_q = -np.inf
-        best = None
+        (set_params mapping, o_cvboost.cpp:67-99).
+
+        wthr: when the subsample mask equals valid & (w >= wthr) — i.e. at
+        a tree root where the mask comes purely from weight trimming — the
+        fast sorted path runs with a single (B, N) gather per block.
+        Deeper tree nodes pass arbitrary node masks (wthr=None) through
+        the generic wrappers."""
         wj = as_f64(w)
         mj = jnp.asarray(mask)
         classifier = self._is_classifier
+        use_gini = self.params.boost_type == BOOST_RAB
         if classifier:
             cj = jnp.asarray(self._cls)
-            use_gini = self.params.boost_type == BOOST_RAB
         else:
             rj = as_f64(resp)
+        fast = wthr is not None and not self.categorical
+        resp_static = self.params.boost_type != BOOST_LB
+        # per-block device reductions, ONE host fetch at the end — a
+        # np.asarray per block costs a ~30 ms tunnel roundtrip each
+        qs, ids, payloads = [], [], []
         for b in range(len(cache.values)):
             if self.categorical:
                 if classifier:
@@ -420,14 +507,17 @@ class StageTrainer:
                     q, subset = _categorical_split_block(
                         cache.values[b], wj, rj, mj
                     )
-                q = np.asarray(q)
-                i = int(np.argmax(q))
-                if q[i] > best_q:
-                    best_q = float(q[i])
-                    best = (
-                        cache.var_base(b) + i,
-                        np.asarray(subset[i]),
-                    )
+                qm, i = _best_of_block(q)
+                payloads.append(subset[i])
+            elif fast:
+                qm, i, thr_i = _block_split_fast(
+                    cache.vs[b], cache.sort_idx[b],
+                    cache.valid_sorted[b], cache.aux_sorted[b],
+                    wj, wj if classifier else rj, cj if classifier else mj,
+                    jnp.asarray(self._valid), as_f64(wthr),
+                    classifier, use_gini, resp_static,
+                )
+                payloads.append(thr_i)
             else:
                 if classifier:
                     q, thr = _ordered_class_split_block(
@@ -438,13 +528,25 @@ class StageTrainer:
                     q, thr = _ordered_split_block(
                         cache.values[b], cache.sort_idx[b], wj, rj, mj
                     )
-                q = np.asarray(q)
-                i = int(np.argmax(q))
-                if q[i] > best_q:
-                    best_q = float(q[i])
-                    best = (cache.var_base(b) + i, np.float32(thr[i]))
-        if best is None or not np.isfinite(best_q):
-            return None
+                qm, i = _best_of_block(q)
+                payloads.append(thr[i])
+            qs.append(qm)
+            ids.append(i)
+        qs = np.asarray(jnp.stack(qs))
+        ids = np.asarray(jnp.stack(ids))
+        pay = np.asarray(jnp.stack(payloads))
+        best_q = -np.inf
+        best = None
+        for b in range(len(cache.values)):
+            # strict >: earlier blocks win ties, matching the old
+            # host-side scan (and the reference's ascending feature scan)
+            if np.isfinite(qs[b]) and qs[b] > best_q:
+                best_q = float(qs[b])
+                var = cache.var_base(b) + int(ids[b])
+                if self.categorical:
+                    best = (var, pay[b])
+                else:
+                    best = (var, np.float32(pay[b]))
         return best
 
     def _values_of_var(self, cache, var_idx: int):
@@ -452,10 +554,12 @@ class StageTrainer:
         off = var_idx - cache.var_base(b)
         return np.asarray(cache.values[b][off])
 
-    def _train_tree(self, cache, w, resp, mask):
+    def _train_tree(self, cache, w, resp, mask, wthr=None):
         """Grow one weak tree (depth-limited recursive masked splits).
 
-        Returns (WeakTree, per-sample predictions over ALL samples)."""
+        Returns (WeakTree, per-sample predictions over ALL samples).
+        wthr: trim threshold for the root split's fast path (the root mask
+        is exactly valid & (w >= wthr); deeper node masks are not)."""
         n = w.shape[0]
         p = self.params
 
@@ -478,7 +582,9 @@ class StageTrainer:
             count = int(node_mask.sum())
             if depth >= p.max_depth or count <= p.min_sample_count:
                 return leaf_value(node_mask)
-            split = self._find_best_split(cache, w, resp, node_mask)
+            split = self._find_best_split(
+                cache, w, resp, node_mask, wthr if depth == 0 else None
+            )
             if split is None:
                 return leaf_value(node_mask)
             var_idx, thr = split
@@ -574,6 +680,7 @@ class StageTrainer:
         n_real = int(valid.sum())
         self._is_classifier = p.boost_type in (BOOST_DAB, BOOST_RAB)
         self._cls = labels.astype(np.int32)
+        self._valid = valid
         t0 = time.time()
         cache = FeatureCache(self.ev, self.categorical)
         if verbose:
@@ -590,6 +697,12 @@ class StageTrainer:
         else:
             resp = orig.astype(np.float64)  # ±1 targets for DAB/RAB too
 
+        if self._is_classifier:
+            cache.set_stage(valid, self._cls)
+        else:
+            cache.set_stage(valid, resp)
+        wthr = -np.inf  # trim threshold: initial subsample is all of valid
+
         trees = []
         stage_sums = np.zeros(n, np.float64)
         threshold = 0.0
@@ -602,7 +715,7 @@ class StageTrainer:
             print("+----+---------+---------+")
 
         while True:
-            tree, preds = self._train_tree(cache, w, resp, mask)
+            tree, preds = self._train_tree(cache, w, resp, mask, wthr)
             if tree is None:
                 break
 
@@ -647,6 +760,7 @@ class StageTrainer:
                 i = int(np.searchsorted(csum[1:], 1.0 - p.weight_trim_rate))
                 thr_w = ws[i] if i < n_real else np.inf
                 mask = valid & (w >= thr_w)
+                wthr = thr_w
             trees.append(tree)
             stage_sums = stage_sums + preds
 

@@ -398,3 +398,60 @@ def test_read_reference_trained_cascade():
     assert m.feature_type == FEATURE_LBP
     assert m.num_stages == 2
     assert len(m.features) == 2  # compacted
+
+
+def test_fast_split_path_matches_legacy():
+    """The single-gather sorted split path must reproduce the legacy
+    (mask-gathering) wrapper bit-for-bit for trim-threshold masks."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.train.boost import (
+        _block_split_fast, _ordered_split_block, _ordered_class_split_block,
+        _best_of_block, as_f64,
+    )
+
+    rng = np.random.default_rng(5)
+    B, N = 64, 200
+    values = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    sort_idx = jnp.asarray(np.argsort(np.asarray(values), axis=1).astype(np.int32))
+    vs = jnp.take_along_axis(values, sort_idx, axis=1)
+    w = rng.random(N)
+    resp = rng.choice([-1.0, 1.0], N)
+    cls = (resp > 0).astype(np.int32)
+    valid = rng.random(N) < 0.9
+    wthr = float(np.quantile(w, 0.3))
+    mask = valid & (w >= wthr)
+
+    wj = as_f64(w)
+    rj = as_f64(resp)
+    vj = jnp.asarray(valid)
+    cj = jnp.asarray(cls)
+    valid_s = vj[sort_idx]
+
+    def _sorted64(a, si):
+        import jax
+        with jax.enable_x64(True):
+            return a[si]
+
+    import jax
+
+    # regression (GAB)
+    q_ref, thr_ref = _ordered_split_block(
+        values, sort_idx, wj, rj, jnp.asarray(mask))
+    with jax.enable_x64(True):
+        qm_ref, i_ref = _best_of_block(q_ref)
+    qm, i, thr_i = _block_split_fast(
+        vs, sort_idx, valid_s, _sorted64(rj, sort_idx), wj, rj, cj, vj,
+        as_f64(wthr), False, False, True)
+    assert float(qm) == float(qm_ref) and int(i) == int(i_ref)
+    assert float(thr_i) == float(np.asarray(thr_ref)[int(i_ref)])
+
+    # classification (RAB / gini)
+    q_ref, thr_ref = _ordered_class_split_block(
+        values, sort_idx, wj, cj, jnp.asarray(mask), True)
+    with jax.enable_x64(True):
+        qm_ref, i_ref = _best_of_block(q_ref)
+    qm, i, thr_i = _block_split_fast(
+        vs, sort_idx, valid_s, cj[sort_idx], wj, rj, cj, vj,
+        as_f64(wthr), True, True, True)
+    assert float(qm) == float(qm_ref) and int(i) == int(i_ref)
+    assert float(thr_i) == float(np.asarray(thr_ref)[int(i_ref)])
