@@ -456,8 +456,12 @@ def _best_of_block(q):
     with jax.enable_x64(True):
         qm = jnp.max(q)
         n = q.shape[0]
-        i = jnp.min(jnp.where(q == qm, jnp.arange(n), n))
-        return qm, jnp.minimum(i, n - 1)
+        i = jnp.min(
+            jnp.where(q == qm, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        )
+        # int32 result: callers index f32 arrays with it OUTSIDE any x64
+        # scope, where an int64 index triggers a mixed-dtype lax.select
+        return qm, jnp.minimum(i, n - 1).astype(jnp.int32)
 
 
 class StageTrainer:
