@@ -1,17 +1,25 @@
 """Multi-chip sharding for training and detection.
 
 The reference is strictly single-process (SURVEY §2.6); scaling is a new,
-first-class subsystem here, built on `jax.sharding` + `shard_map`:
+first-class subsystem here, built on `jax.sharding`:
 
-  - **feature-axis sharding** (tensor-parallel analogue): each device owns a
-    shard of the feature catalog; the weighted split search runs on local
-    shards and the global best split is an all-gather of per-shard
-    (quality, var, payload) triples + replicated argmin-by-(−q, var) — the
-    moral equivalent of the reference's serial loop over features
-    (o_cvdtree.cpp:345) at ICI bandwidth
+  - **feature-axis sharding** (tensor-parallel analogue): the primary,
+    production path is `StageTrainer(..., mesh=mesh)` — FeatureCache
+    places every (B, N) feature block with NamedSharding(P("feat", None))
+    and the jitted split kernels (train/boost.py) auto-partition via
+    GSPMD: per-feature quality rows are computed locally and the global
+    first-argmax reduction lowers to ICI collectives. Per-feature
+    arithmetic is row-independent, so the sharded run picks *identical*
+    splits to the single-device run (tested in tests/test_parallel.py).
+  - this module provides the explicit `shard_map` formulation of the same
+    combine — useful when the caller already holds device-local shards
+    (e.g. a multi-host data loader) and wants the collectives spelled
+    out: local best via the SAME split kernels as the trainer
+    (train/boost._ordered_split_sorted — one kernel, two callers), then
+    all_gather of per-shard (quality, var, thr) triples.
   - **sample/batch sharding** (data-parallel analogue): evaluator matmuls
-    and weight statistics shard over samples with `psum` reductions
-  - multi-host runs reuse the same mesh via jax.distributed (DCN)
+    and weight statistics shard over samples with `psum` reductions.
+  - multi-host runs reuse the same mesh via jax.distributed (DCN).
 
 Collectives ride the mesh; no point-to-point code. Works on any backend,
 including the N-virtual-device CPU mesh used in tests.
@@ -19,16 +27,33 @@ including the N-virtual-device CPU mesh used in tests.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cascadeclassifier_tpu.train.boost import FLT_EPSILON, as_f64  # noqa: F401
+
+def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+    """jax.shard_map across API generations (check_rep → check_vma)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=check_rep,
+    )
+
+from cascadeclassifier_tpu.train.boost import (  # noqa: F401
+    FLT_EPSILON,
+    _ordered_split_sorted,
+    as_f64,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "feat") -> Mesh:
@@ -48,8 +73,9 @@ def shard_features(mesh: Mesh, values, sort_idx=None, axis: str = "feat"):
 def _local_ordered_best(values, sort_idx, w, resp, mask):
     """Per-shard best ordered split: (quality, local_idx, threshold).
 
-    Same math as train/boost._ordered_split_block, but returning the
-    shard-local argmax for the collective combine."""
+    Thin wrapper over the trainer's split kernel
+    (train/boost._ordered_split_sorted) — one kernel, two callers — plus
+    a local first-argmax for the collective combine."""
     with jax.enable_x64(True):
         wm = jnp.where(mask, w, 0.0)
         rm = wm * resp
@@ -57,38 +83,14 @@ def _local_ordered_best(values, sort_idx, w, resp, mask):
         ws = wm[sort_idx]
         rs = rm[sort_idx]
         kept = mask[sort_idx]
-        total_w = jnp.sum(wm)
-        total_r = jnp.sum(rm)
-        lw = jnp.cumsum(ws, axis=1)
-        lr = jnp.cumsum(rs, axis=1)
-        rw = total_w - lw
-        rr = total_r - lr
-        vk = jnp.where(kept, vs, jnp.inf)
-        nxt = jnp.flip(jax.lax.cummin(jnp.flip(vk, axis=1), axis=1), axis=1)
-        nxt = jnp.concatenate(
-            [nxt[:, 1:], jnp.full((vs.shape[0], 1), jnp.inf)], axis=1
+        q, thr = _ordered_split_sorted(
+            vs, ws, rs, kept, jnp.sum(wm), jnp.sum(rm)
         )
-        valid = kept & (vs + 2 * FLT_EPSILON < nxt) & jnp.isfinite(nxt)
-        qual = (lr * lr * rw + rr * rr * lw) / (lw * rw)
-        qual = jnp.where(valid & (lw > 0) & (rw > 0), qual, -jnp.inf)
-
-        bq_row = jnp.max(qual, axis=1)
-        posn = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
-        brow = jnp.min(
-            jnp.where(qual == bq_row[:, None], posn, qual.shape[1]), axis=1
-        )
-        brow = jnp.minimum(brow, qual.shape[1] - 1)
-
-        bq = jnp.max(bq_row)
-        fpos = jax.lax.broadcasted_iota(jnp.int32, bq_row.shape, 0)
-        bf = jnp.min(jnp.where(bq_row == bq, fpos, bq_row.shape[0]))
-        bf = jnp.minimum(bf, bq_row.shape[0] - 1)
-
-        bi = brow[bf]
-        bv = vs[bf, bi].astype(jnp.float32)
-        bn = nxt[bf, bi].astype(jnp.float32)
-        thr = (bv + bn) * np.float32(0.5)
-    return bq, bf, thr
+        bq = jnp.max(q)
+        fpos = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+        bf = jnp.min(jnp.where(q == bq, fpos, q.shape[0]))
+        bf = jnp.minimum(bf, q.shape[0] - 1)
+    return bq, bf, thr[bf]
 
 
 def sharded_ordered_best_split(mesh: Mesh, axis: str = "feat"):
@@ -99,7 +101,6 @@ def sharded_ordered_best_split(mesh: Mesh, axis: str = "feat"):
     reference's ascending-var scan order)."""
 
     def inner(values, sort_idx, w, resp, mask):
-        nshards = jax.lax.axis_size(axis)
         shard = jax.lax.axis_index(axis)
         f_local = values.shape[0]
         bq, bf, thr = _local_ordered_best(values, sort_idx, w, resp, mask)

@@ -377,23 +377,104 @@ class FeatureCache:
     """Per-stage cache of feature values (+ sort orders for ordered
     families) over the current sample set — the TPU analogue of the
     reference's valCache / sorted-index buf
-    (o_cvcascadeboosttraindata.cpp:246-273)."""
+    (o_cvcascadeboosttraindata.cpp:246-273).
 
-    def __init__(self, evaluator, categorical: bool):
+    Memory budget (o_cvcascadeboosttraindata.cpp:250-264 semantics):
+    ``val_buf_mb`` caps resident raw feature values; ``idx_buf_mb`` caps
+    the resident sort-order machinery (sort_idx + sorted values + the
+    per-stage sorted views). Blocks beyond the value budget recompute
+    their values from the evaluator on every access; blocks beyond the
+    index budget re-sort on every access — exactly the reference's
+    cache-or-evaluate / sort-on-demand fallbacks, at block granularity.
+
+    ``mesh``: when given, every resident block is placed feature-sharded
+    (NamedSharding(mesh, P(axis, None))) so the jitted split kernels
+    auto-partition over devices via GSPMD — the per-feature arithmetic is
+    row-independent, so per-feature qualities are bitwise identical to the
+    single-device run and the global first-argmax reduction (XLA inserts
+    the collectives) picks the identical split."""
+
+    def __init__(self, evaluator, categorical: bool,
+                 val_buf_mb: float | None = None,
+                 idx_buf_mb: float | None = None,
+                 mesh=None, mesh_axis: str = "feat"):
         self.ev = evaluator
         self.categorical = categorical
-        self.values = []
-        self.sort_idx = []
-        self.vs = []  # values in sorted order (weak-iteration invariant)
-        for b in range(evaluator.num_blocks()):
-            v = evaluator.values_block(b)
-            self.values.append(v)
-            if not categorical:
+        self.mesh = mesh
+        self._shard = None
+        self._n_shards = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._shard = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+            self._n_shards = int(mesh.shape[mesh_axis])
+        nb = evaluator.num_blocks()
+        n = evaluator.n
+        blk = evaluator.block_size
+        # numPrecalcVal/numPrecalcIdx analogue, at block granularity:
+        # bytes per resident value block = blk·n·4; per index block ≈
+        # blk·n·(4 idx + 4 sorted vals + 1 valid + 8 aux) = blk·n·17
+        if val_buf_mb is None:
+            self.n_val = nb
+        else:
+            self.n_val = min(nb, int(val_buf_mb * 2**20 // (4 * n * blk)))
+        if idx_buf_mb is None:
+            self.n_idx = nb
+        else:
+            self.n_idx = min(nb, int(idx_buf_mb * 2**20 // (17 * n * blk)))
+        if categorical:
+            self.n_idx = 0  # no sort machinery for categorical families
+        self.n_idx = min(self.n_idx, self.n_val)
+
+        self.values = [None] * nb
+        self.sort_idx = [None] * nb
+        self.vs = [None] * nb  # values in sorted order (weak-loop invariant)
+        for b in range(nb):
+            if b < self.n_val:
+                self.values[b] = self._place(evaluator.values_block(b))
+            if not categorical and b < self.n_idx:
+                v = self.values[b]
                 si = jnp.argsort(v, axis=1).astype(jnp.int32)
-                self.sort_idx.append(si)
-                self.vs.append(jnp.take_along_axis(v, si, axis=1))
+                self.sort_idx[b] = si
+                self.vs[b] = jnp.take_along_axis(v, si, axis=1)
+        self.num_blocks = nb
         self.valid_sorted = None
         self.aux_sorted = None  # resp (regression) or cls (classification)
+
+    def _place(self, arr):
+        if self._shard is None:
+            return arr
+        r = arr.shape[0] % self._n_shards
+        if r:
+            # pad to shardable rows with all-zero (constant) features:
+            # constant rows admit no valid split, so their quality is
+            # -inf and they can never win the first-argmax
+            arr = jnp.concatenate(
+                [
+                    arr,
+                    jnp.zeros(
+                        (self._n_shards - r, arr.shape[1]), arr.dtype
+                    ),
+                ],
+                axis=0,
+            )
+        return jax.device_put(arr, self._shard)
+
+    def block_values(self, b):
+        """Raw (B, N) values of block b — resident or recomputed
+        (getVarValue cache-or-evaluator, o_cvcascadeboosttraindata.cpp:484)."""
+        if self.values[b] is not None:
+            return self.values[b]
+        return self._place(self.ev.values_block(b))
+
+    def block_sorted(self, b, values=None):
+        """(sort_idx, sorted values) of block b — resident or re-sorted
+        (get_ord_var_data on-demand sort, o_cvcascadeboosttraindata.cpp:403)."""
+        if self.sort_idx[b] is not None:
+            return self.sort_idx[b], self.vs[b]
+        v = values if values is not None else self.block_values(b)
+        si = jnp.argsort(v, axis=1).astype(jnp.int32)
+        return si, jnp.take_along_axis(v, si, axis=1)
 
     def set_stage(self, valid, aux):
         """Cache per-stage sorted views: the (B, N) gathers along each
@@ -403,8 +484,12 @@ class FeatureCache:
             return
         vj = jnp.asarray(valid)
         aj = jnp.asarray(aux)
-        self.valid_sorted = [vj[si] for si in self.sort_idx]
-        self.aux_sorted = [aj[si] for si in self.sort_idx]
+        self.valid_sorted = [
+            None if si is None else vj[si] for si in self.sort_idx
+        ]
+        self.aux_sorted = [
+            None if si is None else aj[si] for si in self.sort_idx
+        ]
 
     def var_base(self, b):
         return self.ev.block_slice(b)[0]
@@ -466,11 +551,22 @@ def _best_of_block(q):
 
 class StageTrainer:
     """Trains one boosted stage; mirrors CvCascadeBoost::train
-    (boost.cpp:409-459)."""
+    (boost.cpp:409-459).
 
-    def __init__(self, evaluator, params: BoostParams):
+    mesh: optional jax.sharding.Mesh — feature blocks are placed sharded
+    over its first axis and the split search runs SPMD across devices
+    (identical stages to the single-device run; see FeatureCache).
+    val_buf_mb / idx_buf_mb: precalc buffer budgets (-precalcValBufSize /
+    -precalcIdxBufSize analogues)."""
+
+    def __init__(self, evaluator, params: BoostParams, mesh=None,
+                 val_buf_mb: float | None = None,
+                 idx_buf_mb: float | None = None):
         self.ev = evaluator
         self.params = params
+        self.mesh = mesh
+        self.val_buf_mb = val_buf_mb
+        self.idx_buf_mb = idx_buf_mb
         self.categorical = evaluator.maxCatCount > 0
 
     # -- weak-tree construction --------------------------------------------
@@ -496,21 +592,27 @@ class StageTrainer:
             cj = jnp.asarray(self._cls)
         else:
             rj = as_f64(resp)
-        fast = wthr is not None and not self.categorical
         resp_static = self.params.boost_type != BOOST_LB
         # per-block device reductions, ONE host fetch at the end — a
         # np.asarray per block costs a ~30 ms tunnel roundtrip each
         qs, ids, payloads = [], [], []
-        for b in range(len(cache.values)):
+        for b in range(cache.num_blocks):
+            # fast path needs the resident sorted machinery AND a pure
+            # weight-threshold mask (tree roots); budget-evicted blocks and
+            # deep nodes take the generic on-demand path
+            fast = (
+                wthr is not None
+                and not self.categorical
+                and cache.sort_idx[b] is not None
+            )
             if self.categorical:
+                vals = cache.block_values(b)
                 if classifier:
                     q, subset = _categorical_class_split_block(
-                        cache.values[b], wj, cj, mj, use_gini
+                        vals, wj, cj, mj, use_gini
                     )
                 else:
-                    q, subset = _categorical_split_block(
-                        cache.values[b], wj, rj, mj
-                    )
+                    q, subset = _categorical_split_block(vals, wj, rj, mj)
                 qm, i = _best_of_block(q)
                 payloads.append(subset[i])
             elif fast:
@@ -523,15 +625,14 @@ class StageTrainer:
                 )
                 payloads.append(thr_i)
             else:
+                vals = cache.block_values(b)
+                si, _ = cache.block_sorted(b, vals)
                 if classifier:
                     q, thr = _ordered_class_split_block(
-                        cache.values[b], cache.sort_idx[b], wj, cj, mj,
-                        use_gini,
+                        vals, si, wj, cj, mj, use_gini
                     )
                 else:
-                    q, thr = _ordered_split_block(
-                        cache.values[b], cache.sort_idx[b], wj, rj, mj
-                    )
+                    q, thr = _ordered_split_block(vals, si, wj, rj, mj)
                 qm, i = _best_of_block(q)
                 payloads.append(thr[i])
             qs.append(qm)
@@ -541,7 +642,7 @@ class StageTrainer:
         pay = np.asarray(jnp.stack(payloads))
         best_q = -np.inf
         best = None
-        for b in range(len(cache.values)):
+        for b in range(cache.num_blocks):
             # strict >: earlier blocks win ties, matching the old
             # host-side scan (and the reference's ascending feature scan)
             if np.isfinite(qs[b]) and qs[b] > best_q:
@@ -556,7 +657,7 @@ class StageTrainer:
     def _values_of_var(self, cache, var_idx: int):
         b = var_idx // self.ev.block_size
         off = var_idx - cache.var_base(b)
-        return np.asarray(cache.values[b][off])
+        return np.asarray(cache.block_values(b)[off])
 
     def _train_tree(self, cache, w, resp, mask, wthr=None):
         """Grow one weak tree (depth-limited recursive masked splits).
@@ -686,7 +787,11 @@ class StageTrainer:
         self._cls = labels.astype(np.int32)
         self._valid = valid
         t0 = time.time()
-        cache = FeatureCache(self.ev, self.categorical)
+        cache = FeatureCache(
+            self.ev, self.categorical,
+            val_buf_mb=self.val_buf_mb, idx_buf_mb=self.idx_buf_mb,
+            mesh=self.mesh,
+        )
         if verbose:
             print(f"Precalculation time: {int(time.time() - t0)}")
 

@@ -76,3 +76,80 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     r = jax.jit(fn)(*args)
     assert int(r) >= 0
+
+
+def _haar_stage_setup(n=64, win=10):
+    from cascadeclassifier_tpu.ops.features import HAAR_BASIC, haar_catalog
+    from cascadeclassifier_tpu.train.evaluators import HaarTrainEvaluator
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(0, 256, (n, win, win)).astype(np.uint8)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    samples[labels == 1, 2:7, 2:7] = 230
+    cat = haar_catalog(win, win, HAAR_BASIC)
+
+    def make_ev(block_size=4096):
+        ev = HaarTrainEvaluator(cat, block_size=block_size)
+        ev.set_samples(samples)
+        return ev
+
+    return make_ev, labels
+
+
+def _stages_equal(a, b):
+    assert a is not None and b is not None
+    assert a.threshold == b.threshold
+    assert len(a.trees) == len(b.trees)
+    for ta, tb in zip(a.trees, b.trees):
+        np.testing.assert_array_equal(ta.feature_idx, tb.feature_idx)
+        np.testing.assert_array_equal(ta.threshold, tb.threshold)
+        np.testing.assert_array_equal(ta.leaf_values, tb.leaf_values)
+
+
+@needs_8
+def test_stage_trainer_sharded_identical():
+    """StageTrainer on an 8-device feature-sharded mesh must produce the
+    exact stage the single-device run does (GSPMD partitioning of the
+    split kernels preserves per-feature arithmetic bit-for-bit)."""
+    from cascadeclassifier_tpu.train.boost import BoostParams, StageTrainer
+
+    make_ev, labels = _haar_stage_setup()
+    params = BoostParams(weak_count=3, max_depth=1)
+    s_local, sums_local = StageTrainer(make_ev(), params).train(
+        labels, verbose=False
+    )
+    mesh = make_mesh(8)
+    s_shard, sums_shard = StageTrainer(make_ev(), params, mesh=mesh).train(
+        labels, verbose=False
+    )
+    _stages_equal(s_local, s_shard)
+    np.testing.assert_array_equal(sums_local, sums_shard)
+
+
+def test_stage_trainer_budgeted_cache_identical():
+    """A tiny precalc budget (forcing value recompute + on-demand sorts for
+    most blocks — the valBufMB/idxBufMB fallbacks of
+    o_cvcascadeboosttraindata.cpp:250-264) must not change the result."""
+    from cascadeclassifier_tpu.train.boost import BoostParams, StageTrainer
+
+    make_ev, labels = _haar_stage_setup()
+    params = BoostParams(weak_count=3, max_depth=2)
+    s_full, _ = StageTrainer(make_ev(512), params).train(
+        labels, verbose=False
+    )
+    # 512-feature blocks × 64 samples × 4B = 128 KiB/value block;
+    # 0.15 MB → 1 of 2 value blocks resident, 0 idx blocks: block 1
+    # re-evaluates its values and re-sorts on every access
+    tr = StageTrainer(make_ev(512), params, val_buf_mb=0.15, idx_buf_mb=0.01)
+    cache_probe = []
+    orig_find = tr._find_best_split
+
+    def probe(cache, *a, **k):
+        cache_probe.append((cache.n_val, cache.n_idx, cache.num_blocks))
+        return orig_find(cache, *a, **k)
+
+    tr._find_best_split = probe
+    s_budget, _ = tr.train(labels, verbose=False)
+    _stages_equal(s_full, s_budget)
+    n_val, n_idx, nb = cache_probe[0]
+    assert nb > 1 and n_val == 1 and n_idx == 0
