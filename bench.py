@@ -42,17 +42,16 @@ def main():
     model = read_cascade_xml(xml)
     det = TPUDetector(model, exact=bool(int(os.environ.get("BENCH_EXACT", "0"))))
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
     frames = [synth_frame(k) for k in range(n_frames)]
 
     # warmup / compile
-    det.detect_multi_scale(frames[0], 1.1, 3)
+    det.detect_multi_scale_batch(frames[:1], 1.1, 3)
 
     t0 = time.time()
-    total_det = 0
-    for f in frames:
-        total_det += len(det.detect_multi_scale(f, 1.1, 3))
+    results = det.detect_multi_scale_batch(frames, 1.1, 3)
     dt = time.time() - t0
+    total_det = sum(len(r) for r in results)
     fps = n_frames / dt
 
     baseline = 5000.0

@@ -1,0 +1,102 @@
+"""Training benchmark: 20-stage 24x24 HAAR cascade on real TPU.
+
+BASELINE.md target: < 10 min on v5e-8 (8 chips) with streamed
+hard-negative mining. This harness runs on however many chips are
+visible (the axon tunnel exposes one) and reports wall-clock seconds;
+vs_baseline is target_seconds / measured_seconds (>1 = faster than
+target).
+
+Data is generated on the fly with the createsamples twin (bit-exact
+reference distortion pipeline): positives are random 3-D distortions of
+a synthetic high-contrast mark over textured backgrounds, negatives are
+mined from the same textured background pool.
+
+Prints ONE JSON line, same contract as bench.py. Env knobs:
+  BENCH_TRAIN_POS / _NEG / _STAGES — scale down for smoke runs.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def _make_data(td, n_pos):
+    import cv2
+
+    rng = np.random.default_rng(42)
+    # high-contrast object mark on a mid-gray card
+    obj = np.full((48, 48), 200, np.uint8)
+    cv2.rectangle(obj, (6, 6), (41, 41), 20, 4)
+    cv2.circle(obj, (24, 24), 9, 20, -1)
+    obj_path = os.path.join(td, "obj.png")
+    cv2.imwrite(obj_path, obj)
+
+    bg_list = []
+    for k in range(8):
+        bg = rng.integers(0, 256, (480, 640)).astype(np.uint8)
+        bg = cv2.GaussianBlur(bg, (7, 7), 2.5)
+        p = os.path.join(td, f"bg{k}.png")
+        cv2.imwrite(p, bg)
+        bg_list.append(p)
+    bg_txt = os.path.join(td, "bg.txt")
+    with open(bg_txt, "w") as f:
+        f.write("\n".join(bg_list) + "\n")
+
+    from cascadeclassifier_tpu.tools.createsamples import (
+        create_training_samples,
+    )
+
+    vec = os.path.join(td, "pos.vec")
+    create_training_samples(
+        vec, obj_path, n_pos, bgcolor=0, bgthreshold=10, bg_path=bg_txt,
+        win_w=24, win_h=24,
+    )
+    return vec, bg_txt
+
+
+def main():
+    from cascadeclassifier_tpu.train.boost import BoostParams
+    from cascadeclassifier_tpu.train.trainer import CascadeTrainer
+
+    n_pos = int(os.environ.get("BENCH_TRAIN_POS", "1000"))
+    n_neg = int(os.environ.get("BENCH_TRAIN_NEG", "2000"))
+    n_stages = int(os.environ.get("BENCH_TRAIN_STAGES", "20"))
+
+    td = tempfile.mkdtemp(prefix="cctpu_bench_train_")
+    vec, bg = _make_data(td, n_pos + 200)
+
+    tr = CascadeTrainer(
+        win_w=24, win_h=24, boost=BoostParams(),
+        precalc_val_mb=4096.0, precalc_idx_mb=8192.0,
+    )
+    t0 = time.time()
+    model = tr.train(
+        os.path.join(td, "data"), vec, bg, num_pos=n_pos, num_neg=n_neg,
+        num_stages=n_stages, verbose=bool(int(os.environ.get(
+            "BENCH_TRAIN_VERBOSE", "1"))),
+    )
+    dt = time.time() - t0
+    stages_done = len(tr.stages)
+
+    target_s = 600.0
+    print(
+        json.dumps(
+            {
+                "metric": "haar_24x24_20stage_train",
+                "value": round(dt, 1),
+                "unit": f"seconds ({stages_done}/{n_stages} stages, "
+                        f"{n_pos}p/{n_neg}n, 1 chip)",
+                "vs_baseline": round(target_s / dt, 4) if dt > 0 else 0.0,
+            }
+        )
+    )
+    sys.stdout.flush()
+    return model
+
+
+if __name__ == "__main__":
+    main()

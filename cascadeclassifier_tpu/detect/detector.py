@@ -252,12 +252,14 @@ class TPUDetector:
         bit-for-bit; exact=False uses float32 (faster, same detections
         except knife-edge windows within ~1e-6 of a stage threshold).
 
-        engine: 'xla' (dense slice programs at every stage), 'compact'
-        (dense front + survivor compaction + MXU matmul tail — Haar stump
-        cascades; the fastest engine and the default via 'auto'), 'pallas'
-        (tiled VMEM kernel with per-tile early exit — Haar stump cascades,
-        implies f32 stage sums), or 'auto' (compact when the cascade
-        qualifies, else xla)."""
+        engine: 'fused' (the whole pipeline — canvas, gate, walk, dense
+        front, survivor compaction, MXU tail, collection — as ONE XLA
+        program per frame; no host round trips, the fastest engine and
+        the default via 'auto' for untilted stump Haar cascades),
+        'xla' (dense slice programs at every stage), 'compact'
+        (dense front + survivor compaction + MXU matmul tail with
+        host-adaptive triggering), 'pallas' (tiled VMEM kernel with
+        per-tile early exit, implies f32 stage sums), or 'auto'."""
         self.model = model
         self.exact = exact
         self.packed = PackedCascade.from_model(model)
@@ -272,14 +274,32 @@ class TPUDetector:
             self.packed.feature_type == FEATURE_HAAR
             and all(st.deep_trees is None for st in self.packed.stages)
         )
+        can_fused = can_stump_haar and not self.packed.has_tilted
         if engine == "auto":
-            self.engine = "compact" if can_stump_haar else "xla"
+            # the fused engine's fixed-capacity MXU tail assumes matmuls
+            # are ~free (TPU); on CPU backends the host-adaptive compact
+            # engine is the right default
+            self.engine = (
+                "fused" if can_fused and jax.default_backend() == "tpu"
+                else ("compact" if can_stump_haar else "xla")
+            )
         else:
             if engine in ("pallas", "compact") and not can_stump_haar:
                 raise ValueError(
                     f"{engine} engine supports stump Haar cascades"
                 )
+            if engine == "fused" and not can_fused:
+                raise ValueError(
+                    "fused engine supports untilted stump Haar cascades"
+                )
             self.engine = engine
+        self._fused = None
+        if self.engine == "fused":
+            from cascadeclassifier_tpu.detect.engine import FusedEngine
+
+            self._fused = FusedEngine(
+                self.packed, exact=exact, interpret=pallas_interpret
+            )
 
     # -- program builders --------------------------------------------------
     #
@@ -556,6 +576,11 @@ class TPUDetector:
     ) -> np.ndarray:
         """Returns (N, 4) int32 rects (x, y, w, h) in original image coords,
         matching cv::CascadeClassifier::detectMultiScale semantics."""
+        if self.engine == "fused":
+            return self.detect_multi_scale_batch(
+                [img], scale_factor, min_neighbors, min_size, max_size,
+                max_det,
+            )[0]
         img = np.ascontiguousarray(img)
         assert img.ndim == 2 and img.dtype == np.uint8
         h, w = img.shape
@@ -622,6 +647,70 @@ class TPUDetector:
         sel = idx[ok]
         rects = self._positions_to_rects(plan, sel)
         return group_rectangles(rects, min_neighbors)
+
+    def detect_multi_scale_batch(
+        self,
+        frames,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 3,
+        min_size=None,
+        max_size=None,
+        max_det: int = 1 << 14,
+    ) -> list:
+        """Detect over a list of same-geometry frames with one dispatch and
+        one result fetch per frame, pipelined so the host↔device round trip
+        amortizes across the batch (fused engine only). Returns a list of
+        (N_i, 4) rect arrays."""
+        if self.engine != "fused":
+            return [
+                self.detect_multi_scale(
+                    f, scale_factor, min_neighbors, min_size, max_size
+                )
+                for f in frames
+            ]
+        frames = [np.ascontiguousarray(f) for f in frames]
+        h, w = frames[0].shape
+        for f in frames:
+            assert f.shape == (h, w) and f.dtype == np.uint8
+        plan = build_plan(
+            w, h, self.packed.win_w, self.packed.win_h, scale_factor,
+            tuple(min_size) if min_size else None,
+            tuple(max_size) if max_size else None,
+        )
+        tkey = ("tab", plan.canvas_h, plan.canvas_w)
+        if tkey not in self._compiled:
+            self._compiled[tkey] = plan_tables(plan)
+        tab = self._compiled[tkey]
+        # submit every frame before fetching any result: dispatches are
+        # async, so the device pipeline stays full while results stream
+        outs = [
+            self._fused.detect_async(plan, tab, f, max_det) for f in frames
+        ]
+        for out in outs:
+            for arr in out:
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+        results = []
+        for f, out in zip(frames, outs):
+            try:
+                sel = self._fused.finish(out, max_det)
+            except OverflowError:
+                # rare: front survivors exceeded the static tail capacity;
+                # re-run this frame through the host-adaptive engine
+                if not hasattr(self, "_fallback") or self._fallback is None:
+                    self._fallback = TPUDetector(
+                        self.model, exact=self.exact, engine="compact"
+                    )
+                results.append(
+                    self._fallback.detect_multi_scale(
+                        f, scale_factor, min_neighbors, min_size, max_size,
+                        max_det=1 << 16,
+                    )
+                )
+                continue
+            rects = self._positions_to_rects(plan, sel)
+            results.append(group_rectangles(rects, min_neighbors))
+        return results
 
     def _positions_to_rects(self, plan: PyramidPlan, sel: np.ndarray):
         """Map flat dense-grid indices (r·out_w + c) to image-space rects."""

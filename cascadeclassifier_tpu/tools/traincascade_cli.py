@@ -72,6 +72,8 @@ def main(argv=None):
         win_h=args.win_h,
         haar_mode=args.mode,
         boost=boost,
+        precalc_val_mb=args.precalcValBufSize,
+        precalc_idx_mb=args.precalcIdxBufSize,
     )
     print("PARAMETERS:")
     print(f"cascadeDirName: {args.data}")
@@ -80,6 +82,9 @@ def main(argv=None):
     print(f"numPos: {args.numPos}")
     print(f"numNeg: {args.numNeg}")
     print(f"numStages: {args.numStages}")
+    print(f"precalcValBufSize[Mb] : {args.precalcValBufSize}")
+    print(f"precalcIdxBufSize[Mb] : {args.precalcIdxBufSize}")
+    print(f"acceptanceRatioBreakValue : {args.acceptanceRatioBreakValue:g}")
     print(f"stageType: {args.stageType}")
     print(f"featureType: {args.featureType}")
     print(f"sampleWidth: {args.win_w}")

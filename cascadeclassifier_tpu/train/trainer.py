@@ -79,7 +79,15 @@ class CascadeTrainer:
         haar_mode="BASIC",
         boost: BoostParams | None = None,
         mining_batch: int = 4096,
+        precalc_val_mb: float = 1024.0,
+        precalc_idx_mb: float = 1024.0,
+        mesh=None,
     ):
+        """precalc_val_mb / precalc_idx_mb: precalc buffer budgets — the
+        -precalcValBufSize / -precalcIdxBufSize CLI flags (reference
+        traincascade.cpp:44-49 defaults 1024 MB each; semantics
+        o_cvcascadeboosttraindata.cpp:250-264). mesh: optional
+        jax.sharding.Mesh for feature-sharded multi-chip stage training."""
         self.feature_type = feature_type
         self.win_w, self.win_h = win_w, win_h
         self.haar_mode = (
@@ -87,6 +95,9 @@ class CascadeTrainer:
         )
         self.boost = boost or BoostParams()
         self.mining_batch = mining_batch
+        self.precalc_val_mb = precalc_val_mb
+        self.precalc_idx_mb = precalc_idx_mb
+        self.mesh = mesh
         self.evaluator = make_evaluator(
             feature_type, win_w, win_h, self.haar_mode
         )
@@ -355,9 +366,11 @@ class CascadeTrainer:
             with timed("set_samples"):
                 self.evaluator.set_samples(samples)
             with timed("train_stage"):
-                stage, _ = StageTrainer(self.evaluator, p).train(
-                    labels, valid=valid, verbose=verbose
-                )
+                stage, _ = StageTrainer(
+                    self.evaluator, p, mesh=self.mesh,
+                    val_buf_mb=self.precalc_val_mb,
+                    idx_buf_mb=self.precalc_idx_mb,
+                ).train(labels, valid=valid, verbose=verbose)
             if verbose:
                 print("END>")
             if stage is None:

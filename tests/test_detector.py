@@ -224,3 +224,44 @@ def test_pallas_patchify_interpret():
     for w in range(N):
         want = cn[r[w]:r[w] + win + 1, c[w]:c[w] + win + 1].reshape(-1)
         assert np.array_equal(got[w, :P], want), f"window {w}"
+
+
+@pytest.mark.slow
+def test_fused_engine_matches_xla(face_img):
+    """The single-dispatch fused engine (canvas + walk + dense front +
+    fixed-capacity MXU tail in chained programs with no host syncs) must
+    reproduce the XLA dense path exactly, in both precision modes."""
+    m = read_cascade_xml(HAAR_ALT)
+    ref = None
+    for exact in (False, True):
+        fus = TPUDetector(m, exact=exact, engine="fused")
+        fus._fused.tail_n = 8192  # CPU-sized tail capacity
+        got = sorted(map(tuple, fus.detect_multi_scale(face_img, 1.2, 0)))
+        if ref is None:
+            xla = TPUDetector(m, exact=exact, engine="xla")
+            ref = sorted(map(tuple, xla.detect_multi_scale(face_img, 1.2, 0)))
+        assert got == ref and len(got) > 0
+
+
+def test_parity_visited_matches_walk_scan():
+    """Closed-form visited mask == the serial lax.scan walk."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.dense import dense_walk_visited
+    from cascadeclassifier_tpu.detect.engine import (
+        parity_visited, static_visit_grid,
+    )
+    from cascadeclassifier_tpu.detect.pyramid import build_plan
+
+    rng = np.random.default_rng(2)
+    plan = build_plan(160, 120, 20, 20, 1.2)
+    out_h = plan.canvas_h - 20
+    out_w = plan.canvas_w - 20
+    m0 = jnp.asarray(rng.random((out_h, out_w)) < 0.35)
+    ref = dense_walk_visited(
+        m0,
+        jnp.asarray(plan.row_is_grid[:out_h]),
+        jnp.asarray(plan.row_step2[:out_h]),
+        jnp.asarray(plan.row_maxc[:out_h]),
+    )
+    got = parity_visited(m0, jnp.asarray(static_visit_grid(plan)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -88,3 +88,87 @@ def test_priors_shift_decision():
 def test_predict_before_fit_raises():
     with pytest.raises(AssertionError):
         DecisionTree().predict(np.zeros((1, 1), np.float32))
+
+
+def test_multiclass_classification():
+    """>2-class CART (calc_node_value / find_split_ord_class multiclass,
+    o_cvdtree.cpp:359-469, 1074-1173): 3 separable clusters in 2-D."""
+    rng = np.random.default_rng(5)
+    n = 300
+    X = rng.normal(size=(n, 2)).astype(np.float32)
+    y = np.zeros(n)
+    X[100:200, 0] += 6
+    y[100:200] = 1
+    X[200:, 1] += 6
+    y[200:] = 2
+    t = DecisionTree(DTreeParams(cv_folds=0, min_sample_count=5))
+    t.fit(X, y)
+    acc = (t.predict(X) == y).mean()
+    assert acc > 0.97
+    # generalization
+    Xt = np.array([[0, 0], [6, 0], [0, 6]], np.float32)
+    assert list(t.predict(Xt)) == [0.0, 1.0, 2.0]
+
+
+def test_multiclass_categorical_clustering():
+    """Categorical multiclass split goes through cluster_categories
+    (o_cvdtree.cpp:470-547) when categories exceed max_categories."""
+    rng = np.random.default_rng(6)
+    n = 600
+    cats = rng.integers(0, 60, n)  # 60 categories > max_categories=10
+    y = cats % 3  # class fully determined by category
+    X = np.stack([cats, rng.normal(size=n)], axis=1).astype(np.float32)
+    t = DecisionTree(
+        DTreeParams(cv_folds=0, min_sample_count=5, max_categories=10),
+        categorical=(0,),
+    )
+    t.fit(X, y.astype(np.float64))
+    acc = (t.predict(X) == y).mean()
+    assert acc > 0.9
+
+
+def test_surrogate_splits_missing_values():
+    """Surrogates (o_cvdtree.cpp:860-1059): feature 0 predicts the class,
+    feature 1 is strongly correlated with it; samples missing feature 0
+    must still route correctly via the surrogate at predict time."""
+    rng = np.random.default_rng(7)
+    n = 400
+    y = (np.arange(n) % 2).astype(np.float64)
+    f0 = np.where(y == 1, 2.0, -2.0) + rng.normal(scale=0.3, size=n)
+    f1 = f0 + rng.normal(scale=0.2, size=n)  # surrogate candidate
+    X = np.stack([f0, f1], axis=1).astype(np.float32)
+    Xm = X.copy()
+    miss = rng.random(n) < 0.2
+    Xm[miss, 0] = np.nan
+    t = DecisionTree(
+        DTreeParams(cv_folds=0, min_sample_count=5, use_surrogates=True)
+    )
+    t.fit(Xm, y)
+    # held-out samples with feature 0 missing entirely
+    Xt = np.stack(
+        [np.full(50, np.nan), np.where(np.arange(50) % 2 == 1, 2.0, -2.0)],
+        axis=1,
+    ).astype(np.float32)
+    yt = (np.arange(50) % 2).astype(np.float64)
+    acc = (t.predict(Xt) == yt).mean()
+    assert acc > 0.95, acc
+    # the root must actually carry surrogates
+    assert t.root.surrogates, "no surrogate splits recorded"
+
+
+def test_missing_values_regression():
+    """Missing-value regression with the numpy split path."""
+    rng = np.random.default_rng(8)
+    n = 300
+    x = rng.uniform(-1, 1, n)
+    y = np.where(x > 0, 5.0, -5.0) + rng.normal(scale=0.1, size=n)
+    X = np.stack([x, x + rng.normal(scale=0.05, size=n)], axis=1).astype(
+        np.float32
+    )
+    X[rng.random(n) < 0.15, 0] = np.nan
+    t = DecisionTree(
+        DTreeParams(cv_folds=0, min_sample_count=10), regression=True
+    )
+    t.fit(X, y)
+    pred = t.predict(np.array([[0.5, 0.5], [-0.5, -0.5]], np.float32))
+    assert abs(pred[0] - 5.0) < 1.0 and abs(pred[1] + 5.0) < 1.0
