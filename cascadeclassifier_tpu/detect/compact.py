@@ -174,35 +174,246 @@ def make_tail_fn(packed, start_stage, exact):
     return jax.jit(tail)
 
 
+def _pack_lbp_tail(stages, stage_ids, win_w, win_h, stride=None):
+    """Cell-corner incidence matrix + per-tree params for the LBP tail.
+
+    Each stump reads 9 cell sums of its 3×3 grid (lbpfeatures.h:70-83);
+    rows 9t..9t+8 of the returned (9T, P) matrix are the ±1 corner
+    incidences of tree t's cells in row-major cell order."""
+    if stride is None:
+        stride = win_w + 1
+    P = (win_h + 1) * stride
+    trees = []
+    for si in stage_ids:
+        st = stages[si]
+        for t in range(st.ntrees):
+            trees.append((st, t))
+    T = len(trees)
+    a = np.zeros((9 * T, P), np.float32)
+    subs = np.zeros((T, 8), np.int32)
+    ll = np.zeros(T, np.float32)
+    rr = np.zeros(T, np.float32)
+    for i, (st, t) in enumerate(trees):
+        x, y, w, h = (int(v) for v in st.lbp_rects[t])
+        subs[i] = st.subsets[t]
+        ll[i] = float(st.left_leaf[t])
+        rr[i] = float(st.right_leaf[t])
+        for ci, (cy, cx) in enumerate(
+            (y + r * h, x + c * w) for r in range(3) for c in range(3)
+        ):
+            row = 9 * i + ci
+            for (dy, dx, s) in (
+                (0, 0, 1), (0, w, -1), (h, 0, -1), (h, w, 1),
+            ):
+                a[row, (cy + dy) * stride + (cx + dx)] += s
+    bounds = [0]
+    sthr = []
+    for si in stage_ids:
+        bounds.append(bounds[-1] + stages[si].ntrees)
+        sthr.append(float(stages[si].threshold))
+    return a, subs, ll, rr, bounds, sthr
+
+
+def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
+                             shrink_every: int = 2, n_floor: int = 4096):
+    """Re-compacting MXU tail for LBP stump cascades: cell sums via the
+    limb matmul, LBP codes via the 8 comparisons, categorical stumps via
+    predicated subset-word selects (no gathers). Same contract as
+    make_tail_compact_fn; `inv`/`pt` are accepted and ignored so the
+    engines can treat the two tails uniformly."""
+    stage_ids = list(range(start_stage, len(packed.stages)))
+    per_stage = []
+    for si in stage_ids:
+        a, subs, ll, rr, _, sthr = _pack_lbp_tail(
+            packed.stages, [si], packed.win_w, packed.win_h
+        )
+        per_stage.append((
+            jnp.asarray(a, jnp.bfloat16),
+            jnp.asarray(subs),
+            jnp.asarray(ll),
+            jnp.asarray(rr),
+            sthr[0],
+        ))
+
+    def tail(ps, pt, inv, cnt):
+        del pt, inv
+        acc_dt = jnp.float64 if exact else jnp.float32
+        n = n0
+        alive = jnp.arange(n) < cnt
+        widx = jnp.arange(n, dtype=jnp.int32)
+        overflow = jnp.zeros((), bool)
+        for k, (a_j, subs_j, ll_j, rr_j, sthr_k) in enumerate(per_stage):
+            cs = _exact_int_matmul(a_j, ps)  # (9T, N)
+            t_k = subs_j.shape[0]
+            cs = cs.reshape(t_k, 3, 3, -1)
+            cval = cs[:, 1, 1]
+            code = (
+                jnp.where(cs[:, 0, 0] >= cval, 128, 0)
+                | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
+                | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
+                | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
+                | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
+                | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
+                | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
+                | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
+            )
+            word = jnp.zeros_like(code)
+            wsel = code >> 5
+            for wi in range(8):
+                word = jnp.where(wsel == wi, subs_j[:, wi : wi + 1], word)
+            bit = (word >> (code & 31)) & 1
+            leaf = jnp.where(
+                bit != 0, ll_j[:, None].astype(acc_dt),
+                rr_j[:, None].astype(acc_dt),
+            )
+            ssum = jnp.sum(leaf, axis=0)
+            alive = alive & (ssum >= acc_dt(sthr_k))
+            last = k == len(per_stage) - 1
+            if not last and (k + 1) % shrink_every == 0 and n // 2 >= n_floor:
+                na = n // 2
+                ai = alive.astype(jnp.int32)
+                live = jnp.sum(ai)
+                overflow = overflow | (live > na)
+                idx2 = _nonzero_1d(ai, na)
+                ps = ps[idx2]
+                widx = widx[idx2]
+                alive = jnp.arange(na) < jnp.minimum(live, na)
+                n = na
+        return widx, alive, overflow
+
+    if exact:
+        def tail_x64(ps, pt, inv, cnt):
+            with jax.enable_x64(True):
+                return tail(ps, pt, inv, cnt)
+
+        return jax.jit(tail_x64)
+    return jax.jit(tail)
+
+
+def _nonzero_1d(alive_i32, n_out):
+    """First n_out set positions of a 1-D mask (ascending, clamped).
+
+    Sort-based: `index if alive else N` sorted ascending left-packs the
+    survivor positions. One lax.sort beats a binary search whose every
+    round is a random-access gather (~85 ns/element on this TPU)."""
+    n = alive_i32.shape[0]
+    keys = jnp.where(
+        alive_i32 != 0, jnp.arange(n, dtype=jnp.int32), jnp.int32(n)
+    )
+    packed = jax.lax.sort(keys)
+    return jnp.minimum(packed[:n_out], n - 1)
+
+
+def make_tail_compact_fn(packed, start_stage, exact, n0,
+                         shrink_every: int = 2, n_floor: int = 4096):
+    """Re-compacting MXU tail: like make_tail_fn, but every
+    ``shrink_every`` stages the surviving patch rows are gathered into a
+    half-sized batch, so late stages run on thousands of windows instead
+    of the full tail capacity (the TPU-shaped equivalent of the per-
+    window early exit the reference's runtime loop gets for free).
+
+    fn(ps (n0,P) i32, pt, inv (n0,), cnt) ->
+        (widx (n_last,) i32  — original tail-row index per survivor slot,
+         alive (n_last,) bool, overflow bool)
+    Static shrink schedule; ``overflow`` reports any step where live
+    windows exceeded the next capacity (caller falls back)."""
+    stage_ids = list(range(start_stage, len(packed.stages)))
+    per_stage = []
+    for si in stage_ids:
+        a_sum, a_tilt, wts, (thr, ll, rr), _, sthr = _pack_tail(
+            packed.stages, [si], packed.win_w, packed.win_h
+        )
+        per_stage.append((
+            jnp.asarray(a_sum, jnp.bfloat16),
+            None if a_tilt is None else jnp.asarray(a_tilt, jnp.bfloat16),
+            jnp.asarray(wts),
+            jnp.asarray(thr),
+            jnp.asarray(ll),
+            jnp.asarray(rr),
+            sthr[0],
+        ))
+    has_tilt = any(s[1] is not None for s in per_stage)
+
+    def tail(ps, pt, inv, cnt):
+        acc_dt = jnp.float64 if exact else jnp.float32
+        n = n0
+        alive = jnp.arange(n) < cnt
+        widx = jnp.arange(n, dtype=jnp.int32)
+        overflow = jnp.zeros((), bool)
+        for k, (a_j, at_j, w_j, thr_j, ll_j, rr_j, sthr_k) in enumerate(
+            per_stage
+        ):
+            rs = _exact_int_matmul(a_j, ps)
+            if at_j is not None:
+                rs = rs + _exact_int_matmul(at_j, pt)
+            t_k = w_j.shape[0]
+            rs = rs.reshape(t_k, 3, -1).astype(jnp.float32)
+            raw = rs[:, 0] * w_j[:, 0:1]
+            raw = raw + rs[:, 1] * w_j[:, 1:2]
+            raw = raw + rs[:, 2] * w_j[:, 2:3]
+            val = raw * inv[None, :]
+            leaf = jnp.where(
+                val < thr_j[:, None], ll_j[:, None].astype(acc_dt),
+                rr_j[:, None].astype(acc_dt),
+            )
+            ssum = jnp.sum(leaf, axis=0)
+            alive = alive & (ssum >= acc_dt(sthr_k))
+            last = k == len(per_stage) - 1
+            if not last and (k + 1) % shrink_every == 0 and n // 2 >= n_floor:
+                na = n // 2
+                ai = alive.astype(jnp.int32)
+                live = jnp.sum(ai)
+                overflow = overflow | (live > na)
+                idx2 = _nonzero_1d(ai, na)
+                ps = ps[idx2]
+                if has_tilt:
+                    pt = pt[idx2]
+                inv = inv[idx2]
+                widx = widx[idx2]
+                alive = jnp.arange(na) < jnp.minimum(live, na)
+                n = na
+        return widx, alive, overflow
+
+    if exact:
+        def tail_x64(ps, pt, inv, cnt):
+            with jax.enable_x64(True):
+                return tail(ps, pt, inv, cnt)
+
+        return jax.jit(tail_x64)
+    return jax.jit(tail)
+
+
 def make_nonzero_fn(out_h, out_w, n_max):
     """fn(mask (H,W) bool) -> idx (n_max,) i32 — ascending flat indices of
     set positions, zero-padded.
 
-    jnp.nonzero's cumsum-over-22M lowering costs ~230 ms at 1080p; ranking
-    survivors with an upper-triangular ones matmul (row counts ≤ out_w are
-    exact in f32) plus a small 1D cumsum of row totals runs on the MXU."""
-    U = jnp.asarray(
-        np.triu(np.ones((out_w, out_w), np.float32)), jnp.bfloat16
-    )
+    Random-access gathers on this TPU cost ~85 ns/element, so a binary
+    search over a 22M-entry flat rank array (the previous design) spends
+    tens of ms in searchsorted rounds. Two-level design instead:
+      1. per-row sort of `col if alive else BIG` left-packs each row's
+         survivor columns (int16; one batched lax.sort)
+      2. queries binary-search the per-row-count cumsum — an (out_h,)
+         array that stays cache-resident — to find their row
+      3. one monotone gather fetches each query's column
+    """
+    assert out_w < 2**15
 
     def fn(mask):
-        m32 = mask.astype(jnp.int32)
-        row = (
-            jax.lax.dot_general(
-                mask.astype(jnp.bfloat16), U, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(jnp.int32)  # inclusive within-row rank
-        rtot = row[:, -1]
-        off = jnp.cumsum(rtot) - rtot
-        rank = (row - m32 + off[:, None]).reshape(-1)  # exclusive, sorted
-        # rank is monotone in row-major order, so the k-th survivor sits at
-        # the last position whose exclusive rank equals k: a vectorized
-        # binary search (~25 rounds) instead of a 22M-update scatter
-        # (~10 ns/update on TPU)
+        keys = jnp.where(
+            mask,
+            jax.lax.broadcasted_iota(jnp.int16, (out_h, out_w), 1),
+            jnp.int16(out_w),
+        )
+        packed = jax.lax.sort(keys, dimension=1)  # survivors first
+        rcnt = jnp.sum(mask, axis=1, dtype=jnp.int32)
+        rcum = jnp.cumsum(rcnt)  # inclusive
         q = jnp.arange(n_max, dtype=jnp.int32)
-        idx = jnp.searchsorted(rank, q, side="right") - 1
-        total = rank[-1] + m32.reshape(-1)[-1]
+        rowq = jnp.searchsorted(rcum, q, side="right").astype(jnp.int32)
+        rowq = jnp.minimum(rowq, out_h - 1)
+        jq = q - (jnp.take(rcum, rowq) - jnp.take(rcnt, rowq))
+        colq = packed[rowq, jq].astype(jnp.int32)
+        total = rcum[-1]
+        idx = rowq * out_w + colq
         return jnp.where(q < total, idx, 0).astype(jnp.int32)
 
     return jax.jit(fn)
@@ -231,18 +442,23 @@ def make_patchify_fn(win_w, win_h, need_tilt):
 
 def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
                          interpret=False):
-    """Pallas patch extractor: fn(canvas_pad, r, c) -> (n, (win_h+1)*(win_w+1)).
+    """Pallas patch extractor:
+    fn(canvas_pad, r, c, cnt) -> (n, (win_h+1)*(win_w+1)).
 
     Each window's (ph, pw) integral patch is DMA'd from HBM (double-
     buffered; aligned base + row-switch/lane-roll because Mosaic supports
     only 8-aligned sublane offsets and no dynamic lane offsets, see
     pallas_stage.py). Window coordinates stay in HBM and are DMA'd into
-    SMEM per grid step — scalar-prefetching all n of them overflows SMEM
-    (the compile helper crashes beyond a few tens of KB). Four windows
-    share each 128-lane output group (one 32-lane slot each, combined with
-    masked static rolls), so the kernel emits (n/4 * PH8, 128); plain XLA
-    ops then transpose/slice that to the tight (n, ph*pw) layout the MXU
-    tail expects. canvas_pad must come from pad_canvas_for_patchify."""
+    SMEM per grid step. Eight windows share each 256-lane output group
+    (one 32-lane slot each, a single composed roll per window), so the
+    kernel emits (n/8 * PH8, 256); plain XLA ops then transpose/slice to
+    the tight (n, ph*pw) layout the MXU tail expects.
+
+    `cnt` (device scalar) marks the number of REAL windows: slots past it
+    skip both the DMA and the extraction arithmetic, so the kernel's cost
+    scales with actual survivors, not the static capacity — the caller
+    can size n generously and pad freely. canvas_pad must come from
+    pad_canvas_for_patchify."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -262,50 +478,71 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         )
         cp_rc.start()
         cp_rc.wait()
+        cnt = rcbuf[0, 2 * G]
 
-        def start(i):
+        def valid(i):
+            return g * G + i < cnt
+
+        def mk_cp(i):
             rq = pl.multiple_of((rcbuf[0, i] // 8) * 8, 8)
             cq = pl.multiple_of((rcbuf[0, G + i] // 128) * 128, 128)
-            cp = pltpu.make_async_copy(
+            return pltpu.make_async_copy(
                 canvas_hbm.at[pl.ds(rq, rows), pl.ds(cq, 256)],
                 bufs.at[i % D],
                 sems.at[i % D],
             )
-            cp.start()
-            return cp
 
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 128), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 128), 1)
-        in_patch = (row_i < ph) & (col_i < pw)
+        def start(i):
+            @pl.when(valid(i))
+            def _():
+                mk_cp(i).start()
 
-        cps = {i: start(i) for i in range(D - 1)}
-        quad = None
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 1)
+
+        for i in range(D - 1):
+            start(i)
+        octet = None
         for i in range(G):
             if i + D - 1 < G:
-                cps[i + D - 1] = start(i + D - 1)
-            cps[i].wait()
-            r = rcbuf[0, i]
-            c = rcbuf[0, G + i]
-            rq = (r // 8) * 8
-            cq = (c // 128) * 128
-            buf = bufs.at[i % D]
-            v = jax.lax.switch(
-                r - rq,
-                [lambda j=j, b=buf: b[j : j + PH8, :] for j in range(8)],
+                start(i + D - 1)
+            slot = i % 8
+
+            @pl.when(valid(i))
+            def _(i=i):
+                mk_cp(i).wait()
+
+            def extract(i=i, slot=slot):
+                r = rcbuf[0, i]
+                c = rcbuf[0, G + i]
+                rq = (r // 8) * 8
+                cq = (c // 128) * 128
+                buf = bufs.at[i % D]
+                v = jax.lax.switch(
+                    r - rq,
+                    [lambda j=j, b=buf: b[j : j + PH8, :] for j in range(8)],
+                )
+                # one composed roll lands the patch at lanes
+                # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
+                v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)
+                keep = (
+                    (row_i < ph)
+                    & (col_i >= 32 * slot)
+                    & (col_i < 32 * slot + pw)
+                )
+                return jnp.where(keep, v, 0)
+
+            v = jax.lax.cond(
+                valid(i), extract,
+                lambda: jnp.zeros((PH8, 256), jnp.int32),
             )
-            # roll on the full 256-lane buffer: the patch may straddle the
-            # first 128-lane group when the column phase exceeds 128-pw
-            v = pltpu.roll(v, (256 - (c - cq)) % 256, 1)[:, :128]
-            v = jnp.where(in_patch, v, 0)
-            slot = i % 4
-            v = pltpu.roll(v, 32 * slot, 1) if slot else v
-            quad = v if slot == 0 else quad + v
-            if slot == 3:
-                q = i // 4
-                pbuf[q * PH8 : (q + 1) * PH8, :] = quad
+            octet = v if slot == 0 else octet + v
+            if slot == 7:
+                q = i // 8
+                pbuf[q * PH8 : (q + 1) * PH8, :] = octet
 
         cp_out = pltpu.make_async_copy(
-            pbuf, out_hbm.at[pl.ds(g * (G // 4) * PH8, (G // 4) * PH8), :],
+            pbuf, out_hbm.at[pl.ds(g * (G // 8) * PH8, (G // 8) * PH8), :],
             sem_out,
         )
         cp_out.start()
@@ -324,7 +561,7 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
             # crash the Mosaic compile helper
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.VMEM((D, rows, 256), jnp.int32),
-            pltpu.VMEM(((G // 4) * PH8, 128), jnp.int32),
+            pltpu.VMEM(((G // 8) * PH8, 256), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((D,)),
             pltpu.SemaphoreType.DMA(()),
@@ -333,24 +570,30 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n // 4 * PH8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n // 8 * PH8, 256), jnp.int32),
         interpret=interpret,
     )
 
-    def run(canvas_pad, r, c):
-        # (n//G, 128) rows: [r_0..r_7, c_0..c_7, 0...] per grid step
-        # (128 lanes: narrower HBM->SMEM DMAs crash the compile helper)
+    def run(canvas_pad, r, c, cnt=None):
+        if cnt is None:
+            cnt = jnp.int32(n)
+        # (n//G, 128) rows per grid step:
+        # [r_0..r_{G-1}, c_0..c_{G-1}, cnt, 0...] (128 lanes: narrower
+        # HBM->SMEM DMAs crash the compile helper)
         rc = jnp.concatenate(
             [
                 r.reshape(-1, G),
                 c.reshape(-1, G),
-                jnp.zeros((n // G, 128 - 2 * G), jnp.int32),
+                jnp.broadcast_to(
+                    jnp.asarray(cnt, jnp.int32).reshape(1, 1), (n // G, 1)
+                ),
+                jnp.zeros((n // G, 128 - 2 * G - 1), jnp.int32),
             ],
             axis=1,
         ).astype(jnp.int32)
-        raw = call(rc, canvas_pad)                   # (n/4*PH8, 128)
-        raw = raw.reshape(n // 4, PH8, 4, 32)
-        raw = jnp.transpose(raw, (0, 2, 1, 3))       # (n/4, 4, PH8, 32)
+        raw = call(rc, canvas_pad)                   # (n/8*PH8, 256)
+        raw = raw.reshape(n // 8, PH8, 8, 32)
+        raw = jnp.transpose(raw, (0, 2, 1, 3))       # (n/8, 8, PH8, 32)
         raw = raw.reshape(n, PH8, 32)[:, :ph, :pw]
         return raw.reshape(n, ph * pw)
 

@@ -270,11 +270,15 @@ class TPUDetector:
         # compact_batch windows (fixed shapes to bound recompiles)
         self.trigger_n = 1 << 18
         self.compact_batch = 1 << 15
+        all_stumps = all(st.deep_trees is None for st in self.packed.stages)
         can_stump_haar = (
-            self.packed.feature_type == FEATURE_HAAR
-            and all(st.deep_trees is None for st in self.packed.stages)
+            self.packed.feature_type == FEATURE_HAAR and all_stumps
         )
-        can_fused = can_stump_haar and not self.packed.has_tilted
+        can_fused = (
+            all_stumps
+            and self.packed.feature_type in (FEATURE_HAAR, FEATURE_LBP)
+            and not self.packed.has_tilted
+        )
         if engine == "auto":
             # the fused engine's fixed-capacity MXU tail assumes matmuls
             # are ~free (TPU); on CPU backends the host-adaptive compact
@@ -290,7 +294,7 @@ class TPUDetector:
                 )
             if engine == "fused" and not can_fused:
                 raise ValueError(
-                    "fused engine supports untilted stump Haar cascades"
+                    "fused engine supports untilted stump Haar/LBP cascades"
                 )
             self.engine = engine
         self._fused = None

@@ -38,14 +38,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from cascadeclassifier_tpu.detect.compact import (
+    make_lbp_tail_compact_fn,
     make_nonzero_fn,
     make_pallas_patchify,
     make_patchify_fn,
-    make_tail_fn,
+    make_tail_compact_fn,
     pad_canvas_for_patchify,
 )
 from cascadeclassifier_tpu.detect.dense import (
     dense_stage_haar,
+    dense_stage_lbp,
     dense_variance_gate,
 )
 
@@ -105,13 +107,19 @@ class FusedEngine:
 
     def __init__(self, packed, exact: bool = False, n_front: int = 6,
                  tail_n: int = 1 << 16, interpret: bool = False):
-        from cascadeclassifier_tpu.models.model import FEATURE_HAAR
+        from cascadeclassifier_tpu.models.model import (
+            FEATURE_HAAR,
+            FEATURE_LBP,
+        )
 
-        if packed.feature_type != FEATURE_HAAR or packed.has_tilted or any(
-            st.deep_trees is not None for st in packed.stages
+        if (
+            packed.feature_type not in (FEATURE_HAAR, FEATURE_LBP)
+            or packed.has_tilted
+            or any(st.deep_trees is not None for st in packed.stages)
         ):
-            raise ValueError("fused engine supports stump Haar cascades "
-                             "without tilted features")
+            raise ValueError("fused engine supports stump Haar/LBP "
+                             "cascades without tilted features")
+        self.is_haar = packed.feature_type == FEATURE_HAAR
         self.packed = packed
         self.exact = exact
         self.n_front = min(n_front, len(packed.stages))
@@ -141,10 +149,12 @@ class FusedEngine:
         out_h = plan.canvas_h - packed.win_h
         out_w = plan.canvas_w - packed.win_w
         img_w, img_h = plan.img_w, plan.img_h
-        resize_mats = _resize_matrices(plan)
-        grid_np = static_visit_grid(plan)
-        grid = jnp.asarray(grid_np)
-        ordinal = jnp.asarray(np.cumsum(grid_np, axis=1, dtype=np.int32))
+        # resize matrices ride as ARGUMENTS (held in self._consts and
+        # device_put once): multi-MB literals baked into the HLO make the
+        # remote compile pathologically slow
+        R_c, cols_c = _resize_matrices(plan)
+        col_meta = tuple((t, h, w) for (t, h, w, _c) in cols_c)
+        consts = (R_c, [c for (_t, _h, _w, c) in cols_c])
         n_front = self.n_front
         n_stages = len(packed.stages)
         tail_n = max(
@@ -155,11 +165,13 @@ class FusedEngine:
             ),
         )
 
+        is_haar = self.is_haar
         nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n)
         nonzero_det = make_nonzero_fn(out_h, out_w, max_det)
         tail_fn = None
         if n_front < n_stages:
-            tail_fn = make_tail_fn(packed, n_front, exact)
+            mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
+            tail_fn = mk(packed, n_front, exact, tail_n)
         use_pallas = jax.default_backend() == "tpu" and not self.interpret
         if n_front < n_stages:
             if use_pallas:
@@ -172,28 +184,64 @@ class FusedEngine:
 
         def stage_pass(sum2d, inv_nf, si):
             st = packed.stages[si]
-            ssum = dense_stage_haar(
-                sum2d, sum2d, st, out_h, out_w, inv_nf, exact=exact
-            )
+            if is_haar:
+                ssum = dense_stage_haar(
+                    sum2d, sum2d, st, out_h, out_w, inv_nf, exact=exact
+                )
+            else:
+                ssum = dense_stage_lbp(sum2d, st, out_h, out_w, exact=exact)
             if exact:
                 with jax.enable_x64(True):
                     return ssum >= jnp.float64(st.threshold)
             return ssum >= jnp.float32(st.threshold)
 
-        def head(img, tab):
-            """Canvas + gate + stage 0 + the serial-walk visited mask."""
+        # the head is TWO chained programs: canvas | gate+stage0+walk —
+        # fusing all four pieces into one program sends the remote XLA
+        # compile into a >20-minute stall, while any pairwise split
+        # compiles in seconds (empirically bisected; cause unknown)
+        def canvas(img, tab, R, Cs):
+            resize_mats = (
+                R, [(t, h, w, c) for (t, h, w), c in zip(col_meta, Cs)]
+            )
             sum2d, sq2d, _ = _build_canvas(
-                img, tab, img_w, img_h, need_sq=True,
+                img, tab, img_w, img_h, need_sq=is_haar,
                 resize_mats=resize_mats,
             )
-            gate, inv_nf = dense_variance_gate(
-                sum2d, sq2d, packed.win_w, packed.win_h, out_h, out_w
+            if sq2d is None:
+                sq2d = sum2d
+            # emit the sum canvas pre-padded for the patch extractor's
+            # aligned DMAs (a separate 88 MB jnp.pad program costs ~33 ms;
+            # fused with the integral build it is ~free). All downstream
+            # consumers slice fixed offsets, so padding is transparent.
+            return pad_canvas_for_patchify(sum2d, packed.win_h), sq2d
+
+        def prep(sum2d, sq2d, tab):
+            """Gate + stage 0 + the serial-walk visited mask."""
+            if is_haar:
+                gate, inv_nf = dense_variance_gate(
+                    sum2d, sq2d, packed.win_w, packed.win_h, out_h, out_w
+                )
+            else:
+                gate = jnp.ones((out_h, out_w), bool)
+                inv_nf = jnp.zeros((out_h, out_w), jnp.float32)
+            # visit grid + ordinal generated on device from tab's small
+            # per-row vectors (a 22 MB grid literal + 88 MB cumsum
+            # constant otherwise dominate compile time)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
+            grid = (
+                tab["row_is_grid"][:out_h, None]
+                & (cols <= tab["row_maxc"][:out_h, None])
+                & (
+                    (~tab["row_step2"][:out_h, None])
+                    | ((cols & 1) == 0)
+                )
             )
+            ordinal = jnp.cumsum(grid.astype(jnp.int32), axis=1)
             passed0 = stage_pass(sum2d, inv_nf, 0)
             m0 = gate & (~passed0)
             visited = parity_visited(m0, grid, ordinal)
             alive = gate & grid & passed0 & visited
-            return sum2d, inv_nf, alive
+            return inv_nf, alive
 
         # dense front chunks of ≤ FRONT_CHUNK trees
         chunks = []
@@ -217,58 +265,64 @@ class FusedEngine:
             return front
 
         def compact_collect(sum2d, inv_nf, alive):
-            """Survivor extraction, MXU tail, detection collection."""
+            """Survivor extraction, re-compacting MXU tail, collection."""
             cnt = jnp.sum(alive, dtype=jnp.int32)
+            oflow = cnt > tail_n
             if n_front < n_stages:
                 idx = nonzero_tail(alive)
                 r = (idx // out_w).astype(jnp.int32)
                 c = (idx % out_w).astype(jnp.int32)
                 if use_pallas:
-                    ps = ppatch(
-                        pad_canvas_for_patchify(sum2d, packed.win_h), r, c
-                    )
+                    ps = ppatch(sum2d, r, c, cnt)
                     pt = ps[:, :1]
                 else:
                     ps, pt = xpatch(sum2d, sum2d, r, c)
-                valid = jnp.arange(tail_n) < cnt
-                t_alive = tail_fn(ps, pt, inv_nf.reshape(-1)[idx]) & valid
+                widx, t_alive, t_oflow = tail_fn(
+                    ps, pt, inv_nf.reshape(-1)[idx], cnt
+                )
+                oflow = oflow | t_oflow
                 alive = (
                     jnp.zeros(out_h * out_w, jnp.int8)
-                    .at[idx]
+                    .at[idx[widx]]
                     .max(t_alive.astype(jnp.int8))
                     .reshape(out_h, out_w)
                     != 0
                 )
             fcnt = jnp.sum(alive, dtype=jnp.int32)
             fidx = nonzero_det(alive)
-            return fidx, fcnt, cnt
+            return fidx, fcnt, cnt, oflow
 
         return (
-            jax.jit(head),
+            (jax.jit(canvas), jax.jit(prep)),
             [jax.jit(make_front(ids)) for ids in chunks],
             jax.jit(compact_collect),
+            consts,
         )
 
     # -- host-side driver ---------------------------------------------------
 
     def detect_async(self, plan, tab, img, max_det: int):
         """Submit one frame (a few chained async dispatches, no syncs);
-        returns device arrays (fidx, fcnt, tail_cnt)."""
-        head, fronts, tail = self.program(plan, max_det)
-        sum2d, inv_nf, alive = head(jnp.asarray(img), tab)
+        returns device arrays (fidx, fcnt, tail_cnt, overflow)."""
+        (canvas, prep), fronts, tail, (R, Cs) = self.program(plan, max_det)
+        sum2d, sq2d = canvas(jnp.asarray(img), tab, R, Cs)
+        inv_nf, alive = prep(sum2d, sq2d, tab)
         for f in fronts:
             alive = f(sum2d, inv_nf, alive)
         return tail(sum2d, inv_nf, alive)
 
     def finish(self, out, max_det: int):
-        """(fidx, fcnt, tail_cnt) device triple → flat window indices.
+        """(fidx, fcnt, tail_cnt, overflow) device tuple → flat window
+        indices.
 
-        Raises OverflowError when the static tail capacity was exceeded
-        (caller should fall back to the adaptive compact engine)."""
-        fidx, fcnt, cnt = (np.asarray(x) for x in out)
-        if int(cnt) > self.tail_n:
+        Raises OverflowError when any static capacity (tail entry or a
+        re-compaction step) was exceeded (caller should fall back to the
+        adaptive compact engine)."""
+        fidx, fcnt, cnt, oflow = (np.asarray(x) for x in out)
+        if bool(oflow):
             raise OverflowError(
-                f"{int(cnt)} front survivors exceed tail_n={self.tail_n}"
+                f"front survivors ({int(cnt)}) or a tail re-compaction "
+                f"step exceeded static capacity (tail_n={self.tail_n})"
             )
         if int(fcnt) > max_det:
             raise RuntimeError(

@@ -26,7 +26,7 @@ def main(argv=None):
     p.add_argument("--fast", action="store_true",
                    help="float32 stage sums (~4x faster, near-exact)")
     p.add_argument("--engine",
-                   choices=["auto", "xla", "compact", "pallas"],
+                   choices=["auto", "fused", "xla", "compact", "pallas"],
                    default="auto", help="stage-evaluation engine")
     p.add_argument("--pallas-interpret", action="store_true",
                    help=argparse.SUPPRESS)  # debug: run kernels interpreted

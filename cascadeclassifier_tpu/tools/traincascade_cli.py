@@ -2,8 +2,9 @@
 
 Mirrors the reference binary's flag surface (traincascade.cpp:39-166):
 defaults numPos=2000, numNeg=1000, numStages=20, winSize 24×24, HAAR
-BASIC, GAB stumps. Buffer-size flags are accepted for compatibility; the
-TPU trainer manages device memory itself.
+BASIC, GAB stumps. Precalc buffer budgets map onto FeatureCache block
+residency (train/boost.py), the TPU analogue of the reference's
+valCache / sorted-index buffers.
 """
 
 from __future__ import annotations
@@ -31,9 +32,9 @@ def build_parser():
     p.add_argument("-numNeg", type=int, default=1000)
     p.add_argument("-numStages", type=int, default=20)
     p.add_argument("-precalcValBufSize", type=int, default=1024,
-                   help="accepted for compatibility")
+                   help="resident feature-value budget, MB")
     p.add_argument("-precalcIdxBufSize", type=int, default=1024,
-                   help="accepted for compatibility")
+                   help="resident sort-order budget, MB")
     p.add_argument("-baseFormatSave", action="store_true")
     p.add_argument("-numThreads", type=int, default=None,
                    help="accepted for compatibility")

@@ -39,6 +39,7 @@ def face_img():
     return face_blob_image(320, 240, n=8, seed=3)
 
 
+@pytest.mark.slow
 def test_haar_raw_window_parity(oracle_bin, tmp_path, face_img):
     m = read_cascade_xml(HAAR_ALT)
     det = TPUDetector(m)
@@ -47,6 +48,7 @@ def test_haar_raw_window_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_haar_grouped_parity(oracle_bin, tmp_path, face_img):
     m = read_cascade_xml(HAAR_ALT)
     det = TPUDetector(m)
@@ -55,6 +57,7 @@ def test_haar_grouped_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_haar_parity_random_textures(oracle_bin, tmp_path):
     """Random blurred textures exercise knife-edge windows."""
     m = read_cascade_xml(HAAR_ALT)
@@ -67,6 +70,7 @@ def test_haar_parity_random_textures(oracle_bin, tmp_path):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_lbp_raw_window_parity(oracle_bin, tmp_path, face_img):
     m = read_cascade_xml(LBP_FRONTAL)
     det = TPUDetector(m)
@@ -75,6 +79,7 @@ def test_lbp_raw_window_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_variance_gate_rejects_flat_regions():
     m = read_cascade_xml(HAAR_ALT)
     det = TPUDetector(m)
@@ -82,6 +87,7 @@ def test_variance_gate_rejects_flat_regions():
     assert len(det.detect_multi_scale(flat, 1.1, 0)) == 0
 
 
+@pytest.mark.slow
 def test_min_size_filter(oracle_bin, tmp_path, face_img):
     m = read_cascade_xml(HAAR_ALT)
     det = TPUDetector(m)
@@ -111,6 +117,7 @@ def test_group_rectangles_semantics():
     assert len(out0) == 4
 
 
+@pytest.mark.slow
 def test_deep_tree_parity(oracle_bin, tmp_path, face_img):
     """Depth-2 weak trees (predictOrdered path in the OpenCV runtime)."""
     from cascadeclassifier_tpu.models.model import (
@@ -157,6 +164,7 @@ def test_deep_tree_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_tilted_cascade_parity(oracle_bin, tmp_path, face_img):
     """ALL-mode Haar cascade with tilted features + deep trees
     (haarcascade_eye_tree_eyeglasses ships both)."""
@@ -176,6 +184,7 @@ def test_tilted_cascade_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+@pytest.mark.slow
 def test_pallas_engine_matches_xla(face_img):
     """The Pallas tiled kernel (interpret mode on CPU) must reproduce the
     XLA dense path exactly."""
@@ -187,6 +196,7 @@ def test_pallas_engine_matches_xla(face_img):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_compact_engine_matches_xla(face_img):
     """The survivor-compaction engine (dense front + MXU limb-matmul tail)
     must reproduce the XLA dense path exactly, in both precision modes."""
@@ -265,3 +275,33 @@ def test_parity_visited_matches_walk_scan():
     )
     got = parity_visited(m0, jnp.asarray(static_visit_grid(plan)))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_patchify_cnt_guard():
+    """Slots past `cnt` are skipped (zero output), real slots unchanged."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.compact import (
+        make_pallas_patchify, pad_canvas_for_patchify,
+    )
+
+    rng = np.random.default_rng(5)
+    H, W, win = 200, 240, 20
+    canvas = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (H, W), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    N, CNT = 64, 37
+    r = rng.integers(0, H - win - 1, N).astype(np.int32)
+    c = rng.integers(0, W - win - 1, N).astype(np.int32)
+    fn, _ = make_pallas_patchify(win, win, H, W, N, interpret=True)
+    pad = pad_canvas_for_patchify(canvas, win)
+    got = np.asarray(
+        fn(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+    )
+    P = (win + 1) * (win + 1)
+    cn = np.asarray(canvas)
+    for w in range(CNT):
+        want = cn[r[w]:r[w] + win + 1, c[w]:c[w] + win + 1].reshape(-1)
+        assert np.array_equal(got[w, :P], want), f"window {w}"
+    assert not got[CNT:].any()

@@ -161,6 +161,7 @@ def _toy_samples(n_pos=40, n_neg=40, w=12, h=12, seed=0):
 
 
 @pytest.mark.parametrize("bt", [BOOST_GAB, BOOST_RAB, BOOST_DAB, BOOST_LB])
+@pytest.mark.slow
 def test_stage_trainer_separates_toy_data(bt):
     samples, labels = _toy_samples()
     ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
@@ -175,6 +176,7 @@ def test_stage_trainer_separates_toy_data(bt):
     assert (neg_sums >= stage.threshold - 1e-5).mean() <= 0.5
 
 
+@pytest.mark.slow
 def test_stage_trainer_lbp_categorical():
     samples, labels = _toy_samples()
     ev = LBPTrainEvaluator(lbp_catalog(12, 12), block_size=4096)
@@ -186,6 +188,7 @@ def test_stage_trainer_lbp_categorical():
     assert stage.trees[0].subsets is not None
 
 
+@pytest.mark.slow
 def test_stage_trainer_depth2():
     samples, labels = _toy_samples()
     ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
@@ -216,6 +219,7 @@ def toy_train_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cascade_trainer_end_to_end(toy_train_dir, oracle_bin, tmp_path):
     d = toy_train_dir
     tr = CascadeTrainer(feature_type=FEATURE_HAAR, win_w=12, win_h=12)
@@ -328,6 +332,7 @@ def test_dab_leaves_are_plus_minus_c():
         assert np.allclose(lv, lv[0], rtol=1e-5)  # |leaf| = C per tree
 
 
+@pytest.mark.slow
 def test_hog_train_and_detect_round_trip(tmp_path):
     """HOG cascade: train on toy data, save/load XML, detect with the
     crop-consistent HOG detector (the reference can train HOG but not
@@ -373,6 +378,7 @@ def test_hog_train_and_detect_round_trip(tmp_path):
     assert hit
 
 
+@pytest.mark.slow
 def test_resume_from_reference_checkpoint():
     """Interop: load a checkpoint directory written by the *reference*
     trainer binary (golden files under tests/golden/ref_checkpoint were
