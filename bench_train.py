@@ -37,8 +37,25 @@ def _make_data(td, n_pos):
 
     bg_list = []
     for k in range(8):
-        bg = rng.integers(0, 256, (480, 640)).astype(np.uint8)
-        bg = cv2.GaussianBlur(bg, (7, 7), 2.5)
+        # structured, object-confusable clutter (rectangles, rings,
+        # bars): early stages then reject ~half the windows per stage
+        # like real data, instead of FA=0 stages that starve the
+        # hard-negative miner
+        bg = np.full((480, 640), 128, np.uint8)
+        for _ in range(350):
+            x, y = int(rng.integers(0, 600)), int(rng.integers(0, 440))
+            s = int(rng.integers(8, 60))
+            g = int(rng.integers(0, 256))
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                cv2.rectangle(bg, (x, y), (x + s, y + s), g,
+                              int(rng.integers(1, 5)))
+            elif kind == 1:
+                cv2.circle(bg, (x, y), s // 2, g, int(rng.integers(1, 5)))
+            else:
+                cv2.line(bg, (x, y), (x + s, y + int(rng.integers(0, s))),
+                         g, int(rng.integers(1, 4)))
+        bg = cv2.GaussianBlur(bg, (3, 3), 0.8)
         p = os.path.join(td, f"bg{k}.png")
         cv2.imwrite(p, bg)
         bg_list.append(p)

@@ -117,6 +117,30 @@ def _exact_int_matmul(a_bf16, patches):
     return acc
 
 
+def _exact_int_matmul_rel(a_bf16, patches):
+    """Exact int32 (R, N) = a @ (patches − patches[:, :1]).T for rows of
+    `a` whose signs sum to zero (every rect/cell row does).
+
+    Subtracting each window's top-left corner keeps rect sums unchanged
+    (Σ signs = 0) but shrinks values to [0, 255·win²) < 2^18 — wrap-safe
+    in int32 even when the raw canvas values overflowed — so THREE 8-bit
+    limbs suffice instead of four (bf16 represents integers exactly only
+    up to 256, so limbs cannot be wider than 8 bits)."""
+    rel = patches - patches[:, :1]
+    acc = None
+    for l in range(3):
+        limb = ((rel >> (8 * l)) & 0xFF).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            a_bf16,
+            limb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        part = jax.lax.shift_left(part, jnp.int32(8 * l))
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def make_tail_fn(packed, start_stage, exact):
     """fn(patch_sum (N,P) i32, patch_tilt, inv (N,) f32) -> alive (N,) bool
 
@@ -243,7 +267,7 @@ def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
         widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
         for k, (a_j, subs_j, ll_j, rr_j, sthr_k) in enumerate(per_stage):
-            cs = _exact_int_matmul(a_j, ps)  # (9T, N)
+            cs = _exact_int_matmul_rel(a_j, ps)  # (9T, N)
             t_k = subs_j.shape[0]
             cs = cs.reshape(t_k, 3, 3, -1)
             cval = cs[:, 1, 1]
@@ -343,9 +367,12 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
         for k, (a_j, at_j, w_j, thr_j, ll_j, rr_j, sthr_k) in enumerate(
             per_stage
         ):
-            rs = _exact_int_matmul(a_j, ps)
-            if at_j is not None:
-                rs = rs + _exact_int_matmul(at_j, pt)
+            if at_j is None:
+                rs = _exact_int_matmul_rel(a_j, ps)
+            else:
+                # tilted canvases are not monotone from the patch corner,
+                # so the 2-limb relative trick does not apply
+                rs = _exact_int_matmul(a_j, ps) + _exact_int_matmul(at_j, pt)
             t_k = w_j.shape[0]
             rs = rs.reshape(t_k, 3, -1).astype(jnp.float32)
             raw = rs[:, 0] * w_j[:, 0:1]
@@ -383,7 +410,7 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
     return jax.jit(tail)
 
 
-def make_nonzero_fn(out_h, out_w, n_max):
+def make_nonzero_fn(out_h, out_w, n_max, grid_rows=None):
     """fn(mask (H,W) bool) -> idx (n_max,) i32 — ascending flat indices of
     set positions, zero-padded.
 
@@ -395,13 +422,24 @@ def make_nonzero_fn(out_h, out_w, n_max):
       2. queries binary-search the per-row-count cumsum — an (out_h,)
          array that stays cache-resident — to find their row
       3. one monotone gather fetches each query's column
-    """
+
+    grid_rows: optional static np.int32 array of the only rows that can
+    contain survivors (the detector's ystep grid rows — roughly half the
+    canvas); the sort then runs on the compressed row set."""
     assert out_w < 2**15
+    if grid_rows is not None:
+        gr = np.asarray(grid_rows, np.int32)
+        n_rows = len(gr)
+        gr_j = jnp.asarray(gr)
+    else:
+        n_rows = out_h
 
     def fn(mask):
+        if grid_rows is not None:
+            mask = jnp.take(mask, gr_j, axis=0)
         keys = jnp.where(
             mask,
-            jax.lax.broadcasted_iota(jnp.int16, (out_h, out_w), 1),
+            jax.lax.broadcasted_iota(jnp.int16, (n_rows, out_w), 1),
             jnp.int16(out_w),
         )
         packed = jax.lax.sort(keys, dimension=1)  # survivors first
@@ -409,11 +447,12 @@ def make_nonzero_fn(out_h, out_w, n_max):
         rcum = jnp.cumsum(rcnt)  # inclusive
         q = jnp.arange(n_max, dtype=jnp.int32)
         rowq = jnp.searchsorted(rcum, q, side="right").astype(jnp.int32)
-        rowq = jnp.minimum(rowq, out_h - 1)
+        rowq = jnp.minimum(rowq, n_rows - 1)
         jq = q - (jnp.take(rcum, rowq) - jnp.take(rcnt, rowq))
         colq = packed[rowq, jq].astype(jnp.int32)
         total = rcum[-1]
-        idx = rowq * out_w + colq
+        out_row = jnp.take(gr_j, rowq) if grid_rows is not None else rowq
+        idx = out_row * out_w + colq
         return jnp.where(q < total, idx, 0).astype(jnp.int32)
 
     return jax.jit(fn)
@@ -465,7 +504,7 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     ph, pw = win_h + 1, win_w + 1
     assert pw <= 32 and ph <= 32, "pallas patchify supports windows <= 31"
     PH8 = -(-ph // 8) * 8
-    rows = PH8 + 8  # aligned base + phase headroom
+    rows = PH8 + 8  # HBM slices must be 8-row aligned: base + phase room
     G = 32  # windows per grid step
     D = 4   # in-flight canvas DMAs (hides per-DMA latency)
 

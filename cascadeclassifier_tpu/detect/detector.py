@@ -467,7 +467,8 @@ class TPUDetector:
 
     # -- compact engine ----------------------------------------------------
 
-    def _extract_patches(self, cache, plan, n, sum2d, tilt2d, r, c):
+    def _extract_patches(self, cache, plan, n, sum2d, tilt2d, r, c,
+                         cnt=None):
         """Survivor patch extraction: pallas DMA kernel on TPU, vmap'd
         dynamic_slice elsewhere (the XLA gather runs at ~4 ns/element)."""
         from cascadeclassifier_tpu.detect.compact import (
@@ -484,9 +485,10 @@ class TPUDetector:
                     plan.canvas_h, plan.canvas_w, n,
                 )[0]
             fn = cache[("ppatch", n)]
-            ps = fn(pad_canvas_for_patchify(sum2d, packed.win_h), r, c)
+            kn = jnp.int32(n if cnt is None else cnt)
+            ps = fn(pad_canvas_for_patchify(sum2d, packed.win_h), r, c, kn)
             pt = (
-                fn(pad_canvas_for_patchify(tilt2d, packed.win_h), r, c)
+                fn(pad_canvas_for_patchify(tilt2d, packed.win_h), r, c, kn)
                 if packed.has_tilted
                 else ps[:, :1]
             )
@@ -553,7 +555,9 @@ class TPUDetector:
         idx = cache[("nonzero", n)](alive)
         r = (idx // out_w).astype(jnp.int32)
         c = (idx % out_w).astype(jnp.int32)
-        ps, pt = self._extract_patches(cache, plan, n, sum2d, tilt2d, r, c)
+        ps, pt = self._extract_patches(
+            cache, plan, n, sum2d, tilt2d, r, c, cnt=cnt
+        )
         valid = jnp.arange(n) < cnt
         tail_alive = tail_fn(ps, pt, inv_nf.reshape(-1)[idx]) & valid
         # .max instead of .set: padded idx entries are 0 and must not
@@ -690,14 +694,44 @@ class TPUDetector:
         outs = [
             self._fused.detect_async(plan, tab, f, max_det) for f in frames
         ]
-        for out in outs:
-            for arr in out:
-                if hasattr(arr, "copy_to_host_async"):
-                    arr.copy_to_host_async()
+        # pack the whole batch into ONE device array and fetch it with a
+        # single host round trip (~28 ms each through the tunnel —
+        # per-frame per-array fetches would dominate the batch)
+        pkey = ("pack", max_det, len(outs))
+        if pkey not in self._compiled:
+            def _pack(outs_flat):
+                rows = [
+                    jnp.concatenate([
+                        fidx.astype(jnp.int32),
+                        jnp.stack([
+                            fcnt.astype(jnp.int32),
+                            cnt.astype(jnp.int32),
+                            oflow.astype(jnp.int32),
+                        ]),
+                    ])
+                    for (fidx, fcnt, cnt, oflow) in outs_flat
+                ]
+                return jnp.stack(rows)
+
+            self._compiled[pkey] = jax.jit(_pack)
+        host = np.asarray(self._compiled[pkey](outs))
         results = []
-        for f, out in zip(frames, outs):
+        for i, f in enumerate(frames):
+            fidx = host[i, :max_det]
+            fcnt = int(host[i, max_det])
+            cnt = int(host[i, max_det + 1])
+            oflow = bool(host[i, max_det + 2])
             try:
-                sel = self._fused.finish(out, max_det)
+                if oflow:
+                    raise OverflowError(
+                        f"{cnt} front survivors exceeded static tail "
+                        "capacity"
+                    )
+                if fcnt > max_det:
+                    raise RuntimeError(
+                        f"{fcnt} raw detections exceed max_det={max_det}"
+                    )
+                sel = fidx[:fcnt]
             except OverflowError:
                 # rare: front survivors exceeded the static tail capacity;
                 # re-run this frame through the host-adaptive engine

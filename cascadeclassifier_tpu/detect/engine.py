@@ -106,7 +106,7 @@ class FusedEngine:
     program reports overflow instead of dropping windows)."""
 
     def __init__(self, packed, exact: bool = False, n_front: int = 6,
-                 tail_n: int = 1 << 16, interpret: bool = False):
+                 tail_n: int = 1 << 17, interpret: bool = False):
         from cascadeclassifier_tpu.models.model import (
             FEATURE_HAAR,
             FEATURE_LBP,
@@ -166,8 +166,11 @@ class FusedEngine:
         )
 
         is_haar = self.is_haar
-        nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n)
-        nonzero_det = make_nonzero_fn(out_h, out_w, max_det)
+        # survivors only ever sit on ystep grid rows — the per-row sorts
+        # inside nonzero run on the compressed row set (~half the canvas)
+        grid_rows = np.nonzero(plan.row_is_grid[:out_h])[0].astype(np.int32)
+        nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
+        nonzero_det = make_nonzero_fn(out_h, out_w, max_det, grid_rows)
         tail_fn = None
         if n_front < n_stages:
             mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn

@@ -427,16 +427,17 @@ class FeatureCache:
         self.n_idx = min(self.n_idx, self.n_val)
 
         self.values = [None] * nb
-        self.sort_idx = [None] * nb
         self.vs = [None] * nb  # values in sorted order (weak-loop invariant)
+        self._si = [None] * nb  # lazy argsort (generic/deep-node path only)
         for b in range(nb):
             if b < self.n_val:
                 self.values[b] = self._place(evaluator.values_block(b))
             if not categorical and b < self.n_idx:
-                v = self.values[b]
-                si = jnp.argsort(v, axis=1).astype(jnp.int32)
-                self.sort_idx[b] = si
-                self.vs[b] = jnp.take_along_axis(v, si, axis=1)
+                # sorted values via one lax.sort; the explicit argsort is
+                # computed lazily (only the rare generic path needs it —
+                # keeping (B, N) int32 indices resident costs ~2 GB at
+                # production scale)
+                self.vs[b] = jax.lax.sort(self.values[b], dimension=1)
         self.num_blocks = nb
         self.valid_sorted = None
         self.aux_sorted = None  # resp (regression) or cls (classification)
@@ -468,28 +469,53 @@ class FeatureCache:
         return self._place(self.ev.values_block(b))
 
     def block_sorted(self, b, values=None):
-        """(sort_idx, sorted values) of block b — resident or re-sorted
-        (get_ord_var_data on-demand sort, o_cvcascadeboosttraindata.cpp:403)."""
-        if self.sort_idx[b] is not None:
-            return self.sort_idx[b], self.vs[b]
+        """(sort_idx, sorted values) of block b — computed lazily and
+        memoized (get_ord_var_data on-demand sort,
+        o_cvcascadeboosttraindata.cpp:403); only the generic split path
+        (deep tree nodes, budget-evicted blocks) needs explicit indices."""
+        if self._si[b] is not None and self.vs[b] is not None:
+            return self._si[b], self.vs[b]
         v = values if values is not None else self.block_values(b)
-        si = jnp.argsort(v, axis=1).astype(jnp.int32)
-        return si, jnp.take_along_axis(v, si, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        vs, si = jax.lax.sort((v, iota), dimension=1, num_keys=1)
+        if b < self.n_idx:
+            self._si[b] = si
+        return si, vs
 
     def set_stage(self, valid, aux):
-        """Cache per-stage sorted views: the (B, N) gathers along each
-        feature's sample order cost ~10 ns/element, so everything that is
-        constant across weak iterations is gathered exactly once."""
+        """Cache per-stage sorted views via stable payload sorts (values
+        as keys): everything constant across weak iterations is reordered
+        exactly once, without (B, N) gathers."""
         if self.categorical:
             return
-        vj = jnp.asarray(valid)
-        aj = jnp.asarray(aux)
-        self.valid_sorted = [
-            None if si is None else vj[si] for si in self.sort_idx
-        ]
-        self.aux_sorted = [
-            None if si is None else aj[si] for si in self.sort_idx
-        ]
+        # narrow payload dtypes: validity as int8; responses as f32
+        # (GAB/DAB/RAB targets are exactly ±1 — f32-exact; the LB path,
+        # whose responses are not, re-sorts them per iteration instead of
+        # using this cache) and class labels as int8
+        vj = jnp.asarray(valid, jnp.int8)
+        aux_np = np.asarray(aux)
+        if aux_np.dtype.kind == "f":
+            aj = jnp.asarray(aux_np.astype(np.float32))
+        else:
+            aj = jnp.asarray(aux_np.astype(np.int8))
+        self.valid_sorted = [None] * self.num_blocks
+        self.aux_sorted = [None] * self.num_blocks
+        for b in range(self.num_blocks):
+            if self.vs[b] is None:
+                continue
+            v = self.values[b]
+            with jax.enable_x64(True):
+                _, vs_s, as_s = jax.lax.sort(
+                    (
+                        v,
+                        jnp.broadcast_to(vj, v.shape),
+                        jnp.broadcast_to(aj, v.shape),
+                    ),
+                    dimension=1,
+                    num_keys=1,
+                )
+            self.valid_sorted[b] = vs_s != 0
+            self.aux_sorted[b] = as_s
 
     def var_base(self, b):
         return self.ev.block_slice(b)[0]
@@ -498,18 +524,31 @@ class FeatureCache:
 @functools.partial(
     jax.jit, static_argnames=("classifier", "use_gini", "resp_static")
 )
-def _block_split_fast(vs, si, valid_s, aux_s, w64, resp64, cls, valid,
+def _block_split_fast(values, vs, valid_s, aux_s, w64, resp64, cls, valid,
                       wthr, classifier, use_gini, resp_static):
-    """One block's split search with a single per-iteration (B, N) gather.
+    """One block's split search with a single per-iteration payload sort.
 
-    The weight-trimming subsample is a pure weight threshold
-    (trim_weights, o_cvboost.cpp:101-139), so the sorted mask derives from
-    the sorted weights; sorted values / validity / targets come from the
-    per-stage cache. Class/response totals are summed in the original
-    sample order (f64 summation order is replicated reference arithmetic).
-    """
+    The per-iteration boosting weights are carried into each feature's
+    sample order by a stable variadic sort keyed on the (static) feature
+    values — identical ordering to the cached argsort, but
+    bandwidth-bound instead of the ~20 ns/element XLA gather. The
+    weight-trimming subsample is a pure weight threshold (trim_weights,
+    o_cvboost.cpp:101-139), so the sorted mask derives from the sorted
+    weights; sorted values / validity / targets come from the per-stage
+    cache. Class/response totals are summed in the original sample order
+    (f64 summation order is replicated reference arithmetic)."""
     with jax.enable_x64(True):
-        ws_raw = w64[si]  # THE gather (~10 ns/element)
+        wb = jnp.broadcast_to(w64, values.shape)
+        if resp_static:
+            _, ws_raw = jax.lax.sort(
+                (values, wb), dimension=1, num_keys=1
+            )
+            rs_raw = None
+        else:
+            rb = jnp.broadcast_to(resp64, values.shape)
+            _, ws_raw, rs_raw = jax.lax.sort(
+                (values, wb, rb), dimension=1, num_keys=1
+            )
         kept = valid_s & (ws_raw >= wthr)
         ws = jnp.where(kept, ws_raw, 0.0)
         mask = valid & (w64 >= wthr)
@@ -524,7 +563,7 @@ def _block_split_fast(vs, si, valid_s, aux_s, w64, resp64, cls, valid,
             if resp_static:
                 rs = ws * aux_s
             else:
-                rs = jnp.where(kept, ws_raw * resp64[si], 0.0)
+                rs = jnp.where(kept, ws_raw * rs_raw, 0.0)
             rm = wm * resp64
             q, thr = _ordered_split_sorted(
                 vs, ws, rs, kept, jnp.sum(wm), jnp.sum(rm)
@@ -603,7 +642,7 @@ class StageTrainer:
             fast = (
                 wthr is not None
                 and not self.categorical
-                and cache.sort_idx[b] is not None
+                and cache.vs[b] is not None
             )
             if self.categorical:
                 vals = cache.block_values(b)
@@ -617,7 +656,7 @@ class StageTrainer:
                 payloads.append(subset[i])
             elif fast:
                 qm, i, thr_i = _block_split_fast(
-                    cache.vs[b], cache.sort_idx[b],
+                    cache.values[b], cache.vs[b],
                     cache.valid_sorted[b], cache.aux_sorted[b],
                     wj, wj if classifier else rj, cj if classifier else mj,
                     jnp.asarray(self._valid), as_f64(wthr),

@@ -38,6 +38,85 @@ class CascadePredictor:
                 used.update(int(v) for v in t.feature_idx)
         return sorted(used)
 
+    def _stump_tables(self, var_pos, categorical):
+        """Flattened per-tree arrays for the device walk (stump-only
+        cascades — the trained default); None when any tree is deep."""
+        idxs, thrs, lls, rrs, subs, bounds, sthr = [], [], [], [], [], [0], []
+        for stage in self.stages:
+            for tree in stage.trees:
+                if tree.num_nodes != 1:
+                    return None
+                idxs.append(var_pos[int(tree.feature_idx[0])])
+                if categorical:
+                    subs.append(np.asarray(tree.subsets[0], np.int32))
+                    thrs.append(0.0)
+                else:
+                    thrs.append(float(tree.threshold[0]))
+                ll = (
+                    tree.leaf_values[-int(tree.left[0])]
+                    if tree.left[0] <= 0 else 0.0
+                )
+                rr = (
+                    tree.leaf_values[-int(tree.right[0])]
+                    if tree.right[0] <= 0 else 0.0
+                )
+                lls.append(float(ll))
+                rrs.append(float(rr))
+            bounds.append(len(idxs))
+            sthr.append(float(stage.threshold))
+        return (
+            np.asarray(idxs, np.int32), np.asarray(thrs, np.float32),
+            np.asarray(lls, np.float32), np.asarray(rrs, np.float32),
+            np.stack(subs) if subs else None, bounds, sthr,
+        )
+
+    def _device_predict(self, vals_dev, tables, m_pad):
+        """All-stump cascade walk on device: one fetch per batch instead
+        of fetching the (K, m) value matrix (the mining hot path —
+        late-stage hard-negative mining pushes 10^8 windows)."""
+        import jax
+
+        idxs, thrs, lls, rrs, subs, bounds, sthr = tables
+        key = ("stump", len(bounds), len(idxs), m_pad)
+        if key not in self._jit_cache:
+            def run(vals, idxs, thrs, lls, rrs, subs):
+                with jax.enable_x64(True):
+                    tv = vals[idxs]  # (T, m) gather over small K axis
+                    if subs is not None:
+                        code = tv.astype(jnp.int32)
+                        word = jnp.zeros_like(code)
+                        wsel = code >> 5
+                        for wi in range(8):
+                            word = jnp.where(
+                                wsel == wi, subs[:, wi : wi + 1], word
+                            )
+                        bit = (word >> (code & 31)) & 1
+                        leaf = jnp.where(
+                            bit != 0, lls[:, None], rrs[:, None]
+                        ).astype(jnp.float64)
+                    else:
+                        leaf = jnp.where(
+                            tv <= thrs[:, None], lls[:, None], rrs[:, None]
+                        ).astype(jnp.float64)
+                    ok = jnp.ones(leaf.shape[1], bool)
+                    for si in range(len(bounds) - 1):
+                        ssum = jnp.sum(leaf[bounds[si] : bounds[si + 1]],
+                                       axis=0)
+                        ok = ok & ~(
+                            ssum < jnp.float64(sthr[si]) - CV_THRESHOLD_EPS
+                        )
+                    return ok
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](
+            vals_dev,
+            jnp.asarray(idxs),
+            jnp.asarray(thrs),
+            jnp.asarray(lls),
+            jnp.asarray(rrs),
+            None if subs is None else jnp.asarray(subs),
+        )
+
     def predict_batch(self, samples: np.ndarray) -> np.ndarray:
         """samples: (m, h, w) uint8 → (m,) bool — True when every stage
         accepts (1 == reference predict)."""
@@ -59,8 +138,15 @@ class CascadePredictor:
         used_padded = used + [used[0]] * (k_pad - k)
         ev = self._make_ev()
         ev.set_samples(samples)
-        vals = np.asarray(ev.values_for_vars(used_padded))[:k, :m]  # (K, m)
         var_pos = {v: i for i, v in enumerate(used)}
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        tables = self._stump_tables(var_pos, ev.maxCatCount > 0)
+        if tables is not None:
+            vals_dev = ev.values_for_vars(used_padded)  # stays on device
+            ok = self._device_predict(vals_dev[:k], tables, m_pad)
+            return np.asarray(ok)[:m]
+        vals = np.asarray(ev.values_for_vars(used_padded))[:k, :m]  # (K, m)
 
         ok = np.ones(m, bool)
         categorical = ev.maxCatCount > 0

@@ -78,7 +78,7 @@ class CascadeTrainer:
         win_h: int = 24,
         haar_mode="BASIC",
         boost: BoostParams | None = None,
-        mining_batch: int = 4096,
+        mining_batch: int = 16384,
         precalc_val_mb: float = 1024.0,
         precalc_idx_mb: float = 1024.0,
         mesh=None,

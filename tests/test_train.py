@@ -446,7 +446,7 @@ def test_fast_split_path_matches_legacy():
     with jax.enable_x64(True):
         qm_ref, i_ref = _best_of_block(q_ref)
     qm, i, thr_i = _block_split_fast(
-        vs, sort_idx, valid_s, _sorted64(rj, sort_idx), wj, rj, cj, vj,
+        values, vs, valid_s, _sorted64(rj, sort_idx), wj, rj, cj, vj,
         as_f64(wthr), False, False, True)
     assert float(qm) == float(qm_ref) and int(i) == int(i_ref)
     assert float(thr_i) == float(np.asarray(thr_ref)[int(i_ref)])
@@ -457,7 +457,7 @@ def test_fast_split_path_matches_legacy():
     with jax.enable_x64(True):
         qm_ref, i_ref = _best_of_block(q_ref)
     qm, i, thr_i = _block_split_fast(
-        vs, sort_idx, valid_s, cj[sort_idx], wj, rj, cj, vj,
+        values, vs, valid_s, cj[sort_idx], wj, rj, cj, vj,
         as_f64(wthr), True, True, True)
     assert float(qm) == float(qm_ref) and int(i) == int(i_ref)
     assert float(thr_i) == float(np.asarray(thr_ref)[int(i_ref)])
