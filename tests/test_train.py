@@ -461,3 +461,53 @@ def test_fast_split_path_matches_legacy():
         as_f64(wthr), True, True, True)
     assert float(qm) == float(qm_ref) and int(i) == int(i_ref)
     assert float(thr_i) == float(np.asarray(thr_ref)[int(i_ref)])
+
+
+def test_predictor_device_stump_path_matches_host_walk():
+    """The device all-stump predictor (mining hot path) must reproduce
+    the host tree walk exactly; deep trees force the host fallback."""
+    import copy
+
+    from cascadeclassifier_tpu.models.model import Stage, WeakTree
+    from cascadeclassifier_tpu.train.predictor import CascadePredictor
+    from cascadeclassifier_tpu.train.trainer import make_evaluator
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(0, 256, (300, 24, 24)).astype(np.uint8)
+    ev = make_evaluator(0, 24, 24)
+    ev.set_samples(samples)
+    med = {
+        v: float(np.median(np.asarray(ev.values_for_vars([v]))[0]))
+        for v in (11, 503, 77)
+    }
+
+    def stump(var, ll, rr):
+        return WeakTree(
+            left=np.array([0], np.int32), right=np.array([-1], np.int32),
+            feature_idx=np.array([var], np.int32),
+            threshold=np.array([med[var]], np.float32),
+            leaf_values=np.array([ll, rr], np.float32),
+        )
+
+    stages = [
+        Stage(threshold=-0.3, trees=[stump(11, -0.8, 0.9),
+                                     stump(503, 0.7, -0.6)]),
+        Stage(threshold=-0.1, trees=[stump(77, -0.5, 0.5)]),
+    ]
+    pred = CascadePredictor(lambda: ev, stages)
+    ok_dev = pred.predict_batch(samples)
+
+    # force the host walk by including a depth-2 tree in a copy
+    deep = WeakTree(
+        left=np.array([1, 0, -1], np.int32),
+        right=np.array([2, -2, -3], np.int32),
+        feature_idx=np.array([11, 503, 77], np.int32),
+        threshold=np.array([med[11], med[503], med[77]], np.float32),
+        leaf_values=np.array([0.0, -0.8, 0.9, 0.0], np.float32),
+    )
+    host_stages = copy.deepcopy(stages)
+    host_stages.append(Stage(threshold=-10.0, trees=[deep]))  # accepts all
+    pred_host = CascadePredictor(lambda: ev, host_stages)
+    ok_host = pred_host.predict_batch(samples)
+    assert ok_dev.sum() > 0 and ok_dev.sum() < len(samples)  # non-vacuous
+    np.testing.assert_array_equal(ok_dev, ok_host)
