@@ -35,10 +35,14 @@ pytestmark = pytest.mark.slow
 
 
 def _fixture_paths(tmp_path):
-    rng = np.random.default_rng(7)
-    neg = cv2.GaussianBlur(
-        rng.integers(0, 256, (128, 256)).astype(np.uint8), (5, 5), 2
-    )
+    # a CONSTANT background: stage 0 (trained barcode-vs-flat) rejects
+    # every candidate window, so stage 1's miner exhausts its acceptance
+    # budget and the run stops with "Required leaf false alarm rate
+    # achieved" exactly like the reference transcript. (The reference
+    # reaches that state via an out-of-bounds read of its 32x32 bg.png —
+    # see the module docstring — so the *content* of its one negative is
+    # unreproducible; a constant image reproduces the *behavior*.)
+    neg = np.full((128, 256), 128, np.uint8)
     neg_path = str(tmp_path / "neg.png")
     cv2.imwrite(neg_path, neg)
     bg = str(tmp_path / "bg.txt")
