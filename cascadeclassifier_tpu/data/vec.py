@@ -102,5 +102,11 @@ class PosReader:
     def remaining(self):
         return self.count - self._pos
 
+    def unread(self, k: int):
+        """Rewind the cursor by k samples (undo part of a take())."""
+        if not 0 <= k <= self._pos:
+            raise ValueError(f"cannot unread {k} of {self._pos} consumed")
+        self._pos -= k
+
     def restart(self):
         self._pos = 0

@@ -37,6 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cascadeclassifier_tpu.ops.features import lbp_code_grid
+
 
 def _pack_tail(stages, stage_ids, win_w, win_h, stride=None):
     """Corner-incidence matrices + per-tree params for the MXU tail.
@@ -119,13 +121,17 @@ def _exact_int_matmul(a_bf16, patches):
 
 def _exact_int_matmul_rel(a_bf16, patches):
     """Exact int32 (R, N) = a @ (patches − patches[:, :1]).T for rows of
-    `a` whose signs sum to zero (every rect/cell row does).
+    `a` whose signs sum to zero (every rect/cell row does) AND whose true
+    result lies in (−2^23, 2^23) — rect/cell sums are in [0, 255·win²).
 
     Subtracting each window's top-left corner keeps rect sums unchanged
-    (Σ signs = 0) but shrinks values to [0, 255·win²) < 2^18 — wrap-safe
-    in int32 even when the raw canvas values overflowed — so THREE 8-bit
-    limbs suffice instead of four (bf16 represents integers exactly only
-    up to 256, so limbs cannot be wider than 8 bits)."""
+    (Σ signs = 0), so THREE 8-bit limbs suffice instead of four (bf16
+    represents integers exactly only up to 256, so limbs cannot be wider
+    than 8 bits): dropping limb 3 computes the result mod 2^24 — rel is
+    an L-shaped prefix difference that can reach ~255·win·(canvas_w +
+    level_h) ≥ 2^24 on large bright frames, but per-limb arithmetic is
+    exact and int32 wraps mod 2^32, so acc ≡ true sum (mod 2^24). The
+    final sign-extension from bit 23 recovers the exact value."""
     rel = patches - patches[:, :1]
     acc = None
     for l in range(3):
@@ -138,7 +144,11 @@ def _exact_int_matmul_rel(a_bf16, patches):
         ).astype(jnp.int32)
         part = jax.lax.shift_left(part, jnp.int32(8 * l))
         acc = part if acc is None else acc + part
-    return acc
+    # sign-extend from 24 bits: maps acc mod 2^24 into [−2^23, 2^23),
+    # which contains the true rect/cell sum
+    return jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(acc, jnp.int32(8)), jnp.int32(8)
+    )
 
 
 def make_tail_fn(packed, start_stage, exact):
@@ -270,16 +280,8 @@ def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
             cs = _exact_int_matmul_rel(a_j, ps)  # (9T, N)
             t_k = subs_j.shape[0]
             cs = cs.reshape(t_k, 3, 3, -1)
-            cval = cs[:, 1, 1]
-            code = (
-                jnp.where(cs[:, 0, 0] >= cval, 128, 0)
-                | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
-                | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
-                | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
-                | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
-                | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
-                | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
-                | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
+            code = lbp_code_grid(
+                [[cs[:, r, c] for c in range(3)] for r in range(3)]
             )
             word = jnp.zeros_like(code)
             wsel = code >> 5
@@ -591,10 +593,10 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         num_scalar_prefetch=0,
         grid=(n // G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             # coord rows are 128 lanes wide: narrower HBM->SMEM DMAs
             # crash the Mosaic compile helper

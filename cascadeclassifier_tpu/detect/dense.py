@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cascadeclassifier_tpu.ops.features import lbp_code_grid
+
 
 def dense_rect_sum(c2d, rx, ry, w, h, out_h, out_w):
     """Rect sum at every canvas position: 4 shifted slices (CV_SUM_OFFSETS)."""
@@ -123,23 +125,11 @@ def dense_stage_lbp(sum2d, stage, out_h, out_w, exact=True):
             def cs(cx, cy):
                 return dense_rect_sum(sum2d, cx, cy, w, h, out_h, out_w)
 
-            c00, c10, c20 = cs(x, y), cs(x + w, y), cs(x + 2 * w, y)
-            c01, c11, c21 = cs(x, y + h), cs(x + w, y + h), cs(x + 2 * w, y + h)
-            c02, c12, c22 = (
-                cs(x, y + 2 * h),
-                cs(x + w, y + 2 * h),
-                cs(x + 2 * w, y + 2 * h),
-            )
-            cval = c11
-            code = (
-                jnp.where(c00 >= cval, 128, 0)
-                | jnp.where(c10 >= cval, 64, 0)
-                | jnp.where(c20 >= cval, 32, 0)
-                | jnp.where(c21 >= cval, 16, 0)
-                | jnp.where(c22 >= cval, 8, 0)
-                | jnp.where(c12 >= cval, 4, 0)
-                | jnp.where(c02 >= cval, 2, 0)
-                | jnp.where(c01 >= cval, 1, 0)
+            code = lbp_code_grid(
+                [
+                    [cs(x + c * w, y + r * h) for c in range(3)]
+                    for r in range(3)
+                ]
             )
             # subset bit test without gathers: 8 predicated word selects
             word = jnp.zeros_like(code)
@@ -208,19 +198,8 @@ def _dense_lbp_code(sum2d, rect, out_h, out_w):
     def cs(cx, cy):
         return dense_rect_sum(sum2d, cx, cy, w, h, out_h, out_w)
 
-    c00, c10, c20 = cs(x, y), cs(x + w, y), cs(x + 2 * w, y)
-    c01, c11, c21 = cs(x, y + h), cs(x + w, y + h), cs(x + 2 * w, y + h)
-    c02, c12, c22 = cs(x, y + 2 * h), cs(x + w, y + 2 * h), cs(x + 2 * w, y + 2 * h)
-    cval = c11
-    return (
-        jnp.where(c00 >= cval, 128, 0)
-        | jnp.where(c10 >= cval, 64, 0)
-        | jnp.where(c20 >= cval, 32, 0)
-        | jnp.where(c21 >= cval, 16, 0)
-        | jnp.where(c22 >= cval, 8, 0)
-        | jnp.where(c12 >= cval, 4, 0)
-        | jnp.where(c02 >= cval, 2, 0)
-        | jnp.where(c01 >= cval, 1, 0)
+    return lbp_code_grid(
+        [[cs(x + c * w, y + r * h) for c in range(3)] for r in range(3)]
     )
 
 

@@ -735,9 +735,16 @@ class TPUDetector:
             except OverflowError:
                 # rare: front survivors exceeded the static tail capacity;
                 # re-run this frame through the host-adaptive engine
+                # (compact is stump-Haar-only — LBP cascades served by the
+                # fused engine fall back to the dense XLA path)
                 if not hasattr(self, "_fallback") or self._fallback is None:
+                    fb = (
+                        "compact"
+                        if self.packed.feature_type == FEATURE_HAAR
+                        else "xla"
+                    )
                     self._fallback = TPUDetector(
-                        self.model, exact=self.exact, engine="compact"
+                        self.model, exact=self.exact, engine=fb
                     )
                 results.append(
                     self._fallback.detect_multi_scale(

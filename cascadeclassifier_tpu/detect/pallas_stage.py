@@ -299,8 +299,8 @@ def make_pallas_chunk_fn(
         num_scalar_prefetch=11,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             blk(),
             blk(),
         ],

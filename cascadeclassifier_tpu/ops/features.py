@@ -415,6 +415,24 @@ def lbp_catalog(win_w: int, win_h: int) -> LBPCatalog:
     return LBPCatalog(rects=rects, win_w=win_w, win_h=win_h)
 
 
+def lbp_code_grid(cs):
+    """3×3 grid of cell-sum arrays (row-major, any uniform shape) → LBP
+    code array. Bit layout matches CvLBPEvaluator::Feature::calc
+    (lbpfeatures.h:70-83): 128=TL, then clockwise around the center.
+
+    cs: indexable as cs[r][c] — nested sequences or an array whose first
+    two axes are (row, col)."""
+    cval = cs[1][1]
+    code = None
+    for r, c, bit in (
+        (0, 0, 128), (0, 1, 64), (0, 2, 32), (1, 2, 16),
+        (2, 2, 8), (2, 1, 4), (2, 0, 2), (1, 0, 1),
+    ):
+        t = jnp.where(cs[r][c] >= cval, bit, 0)
+        code = t if code is None else code | t
+    return code
+
+
 def eval_lbp(sum_flat: jax.Array, p: jax.Array) -> jax.Array:
     """LBP codes for a batch of samples × a block of features.
 

@@ -57,8 +57,7 @@ def build_parser():
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def make_trainer(args):
     boost = BoostParams(
         boost_type=BOOST_TYPE_IDS[args.bt],
         min_hit_rate=args.minHitRate,
@@ -67,7 +66,7 @@ def main(argv=None):
         max_depth=args.maxDepth,
         weak_count=args.maxWeakCount,
     )
-    trainer = CascadeTrainer(
+    return CascadeTrainer(
         feature_type=FEATURE_TYPE_IDS[args.featureType],
         win_w=args.win_w,
         win_h=args.win_h,
@@ -76,6 +75,12 @@ def main(argv=None):
         precalc_val_mb=args.precalcValBufSize,
         precalc_idx_mb=args.precalcIdxBufSize,
     )
+
+
+def print_parameters(args, trainer):
+    """Reference-style parameter echo (traincascade.cpp prints the same
+    block before training; the feature-count line matches res/README.md
+    transcripts)."""
     print("PARAMETERS:")
     print(f"cascadeDirName: {args.data}")
     print(f"vecFileName: {args.vec}")
@@ -100,6 +105,12 @@ def main(argv=None):
         "Number of unique features given windowSize "
         f"[{args.win_w},{args.win_h}] : {trainer.evaluator.var_count}"
     )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    trainer = make_trainer(args)
+    print_parameters(args, trainer)
     model = trainer.train(
         args.data,
         args.vec,

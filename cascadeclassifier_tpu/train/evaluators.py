@@ -31,6 +31,7 @@ from cascadeclassifier_tpu.ops.features import (
     HOGCatalog,
     LBPCatalog,
     hog_integral_histogram,
+    lbp_code_grid,
 )
 from cascadeclassifier_tpu.ops.integral import (
     integral_image,
@@ -56,33 +57,6 @@ def _haar_eval_program(rows, cols, vals, sum_rows, nf, p):
     return jnp.where(nfb != 0.0, raw / jnp.where(nfb == 0.0, 1.0, nfb), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def _rect_eval_program(rows, cols, sign, sum_rows, p):
-    """Scatter-build ±1 rect incidence matrix → matmul → (R, N) rect sums."""
-    m = (
-        jnp.zeros((rows.shape[0] // 4, p), jnp.float32)
-        .at[rows, cols]
-        .add(sign)
-    )
-    return jnp.dot(m, sum_rows.T, precision=_MM_PREC)
-
-
-@jax.jit
-def _lbp_codes_program(cs):
-    """(B, 3, 3, N) cell sums → (B, N) LBP codes (lbpfeatures.h:70-83)."""
-    cval = cs[:, 1, 1]
-    return (
-        jnp.where(cs[:, 0, 0] >= cval, 128, 0)
-        | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
-        | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
-        | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
-        | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
-        | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
-        | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
-        | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
-    ).astype(jnp.int32)
-
-
 def _haar_scatter_args(offsets, weights):
     b = offsets.shape[0]
     sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
@@ -93,36 +67,6 @@ def _haar_scatter_args(offsets, weights):
         jnp.asarray(rows),
         jnp.asarray(cols.astype(np.int32)),
         jnp.asarray(vals.astype(np.float32)),
-    )
-
-
-def _rect_scatter_args(rect_offsets):
-    r = rect_offsets.shape[0]
-    sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
-    rows = np.repeat(np.arange(r), 4)
-    return (
-        jnp.asarray(rows),
-        jnp.asarray(rect_offsets.reshape(-1).astype(np.int32)),
-        jnp.asarray(np.tile(sign, r)),
-    )
-
-
-
-def _corner_matrix(offsets: np.ndarray, weights: np.ndarray, p: int):
-    """Dense (B, P) corner-incidence matrix for Haar features, built on
-    device (host construction + transfer of multi-GB dense matrices was the
-    dominant cost; the scatter is ~12·B elements).
-
-    offsets: (B, 3, 4) flat corner offsets; weights: (B, 3)."""
-    b = offsets.shape[0]
-    sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
-    rows = np.repeat(np.arange(b), 12)
-    cols = offsets.reshape(b, 12).ravel()
-    vals = (weights[:, :, None] * sign[None, None, :]).reshape(b, 12).ravel()
-    return (
-        jnp.zeros((b, p), jnp.float32)
-        .at[jnp.asarray(rows), jnp.asarray(cols)]
-        .add(jnp.asarray(vals))
     )
 
 
@@ -259,46 +203,25 @@ class LBPTrainEvaluator:
         lo = b * self.block_size
         return lo, min(lo + self.block_size, self.num_features)
 
-    def values_block(self, b: int) -> jax.Array:
-        """(B, N) int32 LBP codes for feature block b."""
-        lo, hi = self.block_slice(b)
-        rects = self._cell_rects[lo:hi]  # (B, 9, 4)
+    def _codes(self, rects) -> jax.Array:
+        """(B, 9, 4) cell rect offsets → (B, N) int32 LBP codes."""
         bsz = rects.shape[0]
         m = _rect_corner_matrix(rects.reshape(-1, 4), self.p)  # (B*9, P)
         cs = jnp.dot(jnp.asarray(m), self.sum_rows.T, precision=_MM_PREC)
         cs = cs.reshape(bsz, 3, 3, -1)  # (B, 3row, 3col, N)
-        cval = cs[:, 1, 1]
-        code = (
-            jnp.where(cs[:, 0, 0] >= cval, 128, 0)
-            | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
-            | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
-            | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
-            | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
-            | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
-            | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
-            | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
+        code = lbp_code_grid(
+            [[cs[:, r, c] for c in range(3)] for r in range(3)]
         )
         return code.astype(jnp.int32)
 
+    def values_block(self, b: int) -> jax.Array:
+        """(B, N) int32 LBP codes for feature block b."""
+        lo, hi = self.block_slice(b)
+        return self._codes(self._cell_rects[lo:hi])
+
     def values_for_vars(self, var_ids) -> jax.Array:
         ids = np.asarray(var_ids, np.int64)
-        rects = self._cell_rects[ids]
-        bsz = rects.shape[0]
-        m = _rect_corner_matrix(rects.reshape(-1, 4), self.p)
-        cs = jnp.dot(jnp.asarray(m), self.sum_rows.T, precision=_MM_PREC)
-        cs = cs.reshape(bsz, 3, 3, -1)
-        cval = cs[:, 1, 1]
-        code = (
-            jnp.where(cs[:, 0, 0] >= cval, 128, 0)
-            | jnp.where(cs[:, 0, 1] >= cval, 64, 0)
-            | jnp.where(cs[:, 0, 2] >= cval, 32, 0)
-            | jnp.where(cs[:, 1, 2] >= cval, 16, 0)
-            | jnp.where(cs[:, 2, 2] >= cval, 8, 0)
-            | jnp.where(cs[:, 2, 1] >= cval, 4, 0)
-            | jnp.where(cs[:, 2, 0] >= cval, 2, 0)
-            | jnp.where(cs[:, 1, 0] >= cval, 1, 0)
-        )
-        return code.astype(jnp.int32)
+        return self._codes(self._cell_rects[ids])
 
 
 class HOGTrainEvaluator:

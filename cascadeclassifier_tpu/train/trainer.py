@@ -124,7 +124,7 @@ class CascadeTrainer:
                     # like the reference's per-sample loop would not — so
                     # rewind the cursor for the unread remainder
                     consumed_counter[0] -= len(batch) - 1 - i
-                    pos._pos -= len(batch) - 1 - i
+                    pos.unread(len(batch) - 1 - i)
                     break
         return np.stack(kept) if kept else np.zeros(
             (0, self.win_h, self.win_w), np.uint8

@@ -87,6 +87,24 @@ def test_traincascade_cli_help():
     assert a.numPos == 5 and a.featureType == "LBP" and a.win_w == 16
 
 
+def test_traincascade_cli_feature_count_line(capsys):
+    """The CLI parameter echo prints the reference transcript's unique
+    feature count (res/README.md: 152,625 LBP features at 75x32)."""
+    from cascadeclassifier_tpu.tools.traincascade_cli import (
+        build_parser,
+        make_trainer,
+        print_parameters,
+    )
+
+    args = build_parser().parse_args(
+        ["-data", "d", "-vec", "v", "-bg", "b", "-featureType", "LBP",
+         "-w", "75", "-h", "32"]
+    )
+    print_parameters(args, make_trainer(args))
+    out = capsys.readouterr().out
+    assert "given windowSize [75,32] : 152625" in out
+
+
 def test_visualisation(tmp_path):
     from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
     from cascadeclassifier_tpu.tools.visualisation_cli import main
