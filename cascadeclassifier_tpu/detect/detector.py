@@ -767,9 +767,13 @@ class TPUDetector:
         s = plan.row_scale[r]
         assert (s >= 0).all()
         y = r - plan.block_top[s]
-        f = plan.scales[s].astype(np.float64)
-        x_img = np.rint(c * f).astype(np.int32)
-        y_img = np.rint(y * f).astype(np.int32)
+        # the OpenCV invoker maps window coords with FLOAT32 arithmetic:
+        # cvRound(x*scalingFactor) where scalingFactor is ScaleData::scale
+        # (a float) — e.g. 50·1.21f is exactly 60.5f and rounds to even 60,
+        # while the f64 product 60.500000000000014 rounds to 61
+        f = plan.scales[s].astype(np.float32)
+        x_img = np.rint(c.astype(np.float32) * f).astype(np.int32)
+        y_img = np.rint(y.astype(np.float32) * f).astype(np.int32)
         # the OpenCV runtime clips candidate rects to the image bounds
         bw = np.minimum(plan.box_w[s], plan.img_w - x_img)
         bh = np.minimum(plan.box_h[s], plan.img_h - y_img)

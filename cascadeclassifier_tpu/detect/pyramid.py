@@ -117,8 +117,11 @@ def build_plan(
         scaled_w[i] = _cv_round(img_w / sc)
         scaled_h[i] = _cv_round(img_h / sc)
         ystep[i] = 1 if sc >= 2 else 2
-        box_w[i] = _cv_round(win_w * float(sc))
-        box_h[i] = _cv_round(win_h * float(sc))
+        # output boxes use FLOAT32 multiplies (the invoker's winSize =
+        # cvRound(origWin·scalingFactor) with float scalingFactor), unlike
+        # the double-precision enumeration bound in opencv_scales
+        box_w[i] = _cv_round(np.float32(win_w) * sc)
+        box_h[i] = _cv_round(np.float32(win_h) * sc)
     if force_ystep is not None:
         ystep[:] = force_ystep
 
@@ -153,18 +156,26 @@ def build_plan(
     row_step2 = np.zeros(canvas_h, bool)
     row_maxc = np.full(canvas_h, -1, np.int32)
     row_scale = np.full(canvas_h, -1, np.int32)
+    # OpenCV 4.x splits the y range into nstripes = cvCeil(szw0.width/32.)
+    # stripes of stripeSize = max(ceil((prH/ystep)/nstripes), 1)*ystep and
+    # iterates y < min(nstripes*stripeSize, prH) — when ystep == 2 and prH
+    # is odd, the LAST grid row is visited iff the stripe total overshoots
+    # prH−1, i.e. iff nstripes does not divide prH//ystep. Derived from
+    # always-pass-cascade probes against the C++ oracle at 320x240
+    # (nstripes=10: row 144 of prH=145 visited), 137x101 (nstripes=4: last
+    # odd rows NOT visited) and 64x55 (nstripes=2).
+    nstripes = int(np.ceil((int(scaled_w[0]) + 1 - win_w) / 32.0))
     for s in range(S):
         t, h_s, w_s = int(block_top[s]), int(scaled_h[s]), int(scaled_w[s])
         step = int(ystep[s])
         if w_s < win_w or h_s < win_h:
             continue
-        # OpenCV invoker geometry (validated against the oracle with
-        # boundary-discriminating probes): processingRect = szi − origWin
-        # with szi = scaled size + 1, x bounded x < prW (so x ≤ w−ww
-        # inclusive), but the y loop iterates i < prH // ystep with
-        # y = i·ystep — truncating the last grid row when ystep == 2
-        n_rows = (h_s + 1 - win_h) // step
-        ys = np.arange(n_rows) * step
+        # processingRect = szi − origWin with szi = scaled size + 1; the x
+        # loop is x < prW (x ≤ w−ww inclusive), stepped by ystep
+        pr_h = h_s + 1 - win_h
+        stripe = max(-(-(pr_h // step) // max(nstripes, 1)), 1) * step
+        y_bound = min(max(nstripes, 1) * stripe, pr_h)
+        ys = np.arange(0, y_bound, step)
         row_is_grid[t + ys] = True
         row_step2[t : t + h_s + 1] = step == 2
         row_maxc[t : t + h_s + 1] = w_s - win_w

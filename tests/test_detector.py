@@ -79,6 +79,53 @@ def test_lbp_raw_window_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+def test_visit_set_matches_oracle_exactly(oracle_bin, tmp_path):
+    """Pin the exact window visit-set + output mapping of the OpenCV 4.x
+    invoker (pure numpy vs an always-pass cascade run through the C++
+    oracle — no detector compile):
+
+      - nstripes = cvCeil(szw0.width/32.); y < min(nstripes·stripeSize,
+        prH) with stripeSize = max(ceil((prH//ystep)/nstripes),1)·ystep —
+        stripe OVERSHOOT visits the last odd grid row iff nstripes does
+        not divide prH//ystep (cascadedetect.cpp invoker geometry)
+      - x < prW stepped by ystep
+      - output rect = cvRound(x·scale) with FLOAT32 multiplies (ScaleData
+        ::scale is float; 50·1.21f == 60.5f rounds to even 60), box =
+        cvRound(origWin·scale_f32), clipped per-axis to image bounds
+    """
+    import dataclasses
+    from collections import Counter
+
+    from cascadeclassifier_tpu.detect.pyramid import build_plan
+    from cascadeclassifier_tpu.models.xml_io import write_cascade_xml
+
+    m = read_cascade_xml(HAAR_ALT)
+    st0 = dataclasses.replace(m.stages[0], threshold=-1e6)
+    mp = dataclasses.replace(m, stages=[st0])
+    tpath = str(tmp_path / "pass.xml")
+    write_cascade_xml(mp, tpath)
+    rng = np.random.default_rng(7)
+    for (w, h) in [(137, 101), (64, 55), (200, 173)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ref = Counter(map(tuple, _oracle(oracle_bin, tpath, img, tmp_path)))
+        plan = build_plan(w, h, 20, 20, 1.1, None, None)
+        mine = Counter()
+        for s in range(len(plan.scales)):
+            sc = np.float32(plan.scales[s])
+            step = int(plan.ystep[s])
+            t = int(plan.block_top[s])
+            h_s, w_s = int(plan.scaled_h[s]), int(plan.scaled_w[s])
+            if w_s < 20 or h_s < 20:
+                continue
+            bw, bh = int(plan.box_w[s]), int(plan.box_h[s])
+            for yc in np.nonzero(plan.row_is_grid[t : t + h_s + 1])[0]:
+                for xc in range(0, w_s + 1 - 20, step):
+                    xi = int(np.rint(np.float32(xc) * sc))
+                    yi = int(np.rint(np.float32(yc) * sc))
+                    mine[(xi, yi, min(bw, w - xi), min(bh, h - yi))] += 1
+        assert mine == ref, (w, h)
+
+
 @pytest.mark.slow
 def test_variance_gate_rejects_flat_regions():
     m = read_cascade_xml(HAAR_ALT)
