@@ -86,9 +86,19 @@ def main():
     td = tempfile.mkdtemp(prefix="cctpu_bench_train_")
     vec, bg = _make_data(td, n_pos + 200)
 
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from cascadeclassifier_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh()
+        print(f"# feature mesh over {len(jax.devices())} devices",
+              file=sys.stderr)
     tr = CascadeTrainer(
         win_w=24, win_h=24, boost=BoostParams(),
         precalc_val_mb=4096.0, precalc_idx_mb=8192.0,
+        mesh=mesh,
     )
     t0 = time.time()
     model = tr.train(
@@ -106,7 +116,7 @@ def main():
                 "metric": "haar_24x24_20stage_train",
                 "value": round(dt, 1),
                 "unit": f"seconds ({stages_done}/{n_stages} stages, "
-                        f"{n_pos}p/{n_neg}n, 1 chip)",
+                        f"{n_pos}p/{n_neg}n, {len(jax.devices())} chip)",
                 "vs_baseline": round(target_s / dt, 4) if dt > 0 else 0.0,
             }
         )

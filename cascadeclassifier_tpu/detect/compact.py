@@ -507,15 +507,17 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     assert pw <= 32 and ph <= 32, "pallas patchify supports windows <= 31"
     PH8 = -(-ph // 8) * 8
     rows = PH8 + 8  # HBM slices must be 8-row aligned: base + phase room
-    G = 32  # windows per grid step
-    D = 4   # in-flight canvas DMAs (hides per-DMA latency)
+    G = 64 if n >= 64 else n  # windows per grid step
+    D = min(8, G)  # in-flight canvas DMAs (hides per-DMA latency)
+    RCW = 256  # rc row lanes (2*G+1 <= RCW)
+    assert n % G == 0
 
     def kernel(rc_hbm, canvas_hbm, out_hbm, rcbuf, bufs, pbuf,
                sem_rc, sems, sem_out):
         g = pl.program_id(0)
 
         cp_rc = pltpu.make_async_copy(
-            rc_hbm.at[pl.ds(g, 1), :], rcbuf, sem_rc
+            rc_hbm.at[pl.ds(g * 8, 8), :], rcbuf, sem_rc
         )
         cp_rc.start()
         cp_rc.wait()
@@ -598,9 +600,10 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            # coord rows are 128 lanes wide: narrower HBM->SMEM DMAs
-            # crash the Mosaic compile helper
-            pltpu.SMEM((1, 128), jnp.int32),
+            # coord block is (8, RCW): row 0 carries the data, the other
+            # rows pad the HBM slice to the (8, 128) tile (unaligned or
+            # narrower HBM->SMEM DMAs fail the Mosaic compile)
+            pltpu.SMEM((8, RCW), jnp.int32),
             pltpu.VMEM((D, rows, 256), jnp.int32),
             pltpu.VMEM(((G // 8) * PH8, 256), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -618,20 +621,21 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     def run(canvas_pad, r, c, cnt=None):
         if cnt is None:
             cnt = jnp.int32(n)
-        # (n//G, 128) rows per grid step:
-        # [r_0..r_{G-1}, c_0..c_{G-1}, cnt, 0...] (128 lanes: narrower
-        # HBM->SMEM DMAs crash the compile helper)
-        rc = jnp.concatenate(
+        # one (8, RCW) block per grid step, data in row 0:
+        # [r_0..r_{G-1}, c_0..c_{G-1}, cnt, 0...]
+        row = jnp.concatenate(
             [
                 r.reshape(-1, G),
                 c.reshape(-1, G),
                 jnp.broadcast_to(
                     jnp.asarray(cnt, jnp.int32).reshape(1, 1), (n // G, 1)
                 ),
-                jnp.zeros((n // G, 128 - 2 * G - 1), jnp.int32),
+                jnp.zeros((n // G, RCW - 2 * G - 1), jnp.int32),
             ],
             axis=1,
         ).astype(jnp.int32)
+        rc = jnp.zeros((n // G, 8, RCW), jnp.int32).at[:, 0, :].set(row)
+        rc = rc.reshape(n // G * 8, RCW)
         raw = call(rc, canvas_pad)                   # (n/8*PH8, 256)
         raw = raw.reshape(n // 8, PH8, 8, 32)
         raw = jnp.transpose(raw, (0, 2, 1, 3))       # (n/8, 8, PH8, 32)
@@ -641,11 +645,15 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     return jax.jit(run), (rows, ph * pw)
 
 
-def pad_canvas_for_patchify(canvas, win_h):
-    """Zero-pad a canvas so per-window aligned DMAs stay in bounds."""
+def pad_canvas_for_patchify(canvas, win_h, min_h: int = 0, min_w: int = 0):
+    """Zero-pad a canvas so per-window aligned DMAs stay in bounds.
+
+    min_h/min_w: optional extra floor on the padded shape (e.g. the static
+    front kernel's tile+halo geometry) so one padded canvas serves every
+    DMA consumer."""
     ph = win_h + 1
     rows = -(-(ph + 8) // 8) * 8
     H, W = canvas.shape
-    HP = -(-(H + rows) // 8) * 8
-    WP = -(-(W + 256) // 128) * 128
+    HP = -(-max(H + rows, min_h) // 8) * 8
+    WP = -(-max(W + 256, min_w) // 128) * 128
     return jnp.pad(canvas, ((0, HP - H), (0, WP - W)))

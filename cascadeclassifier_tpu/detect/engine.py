@@ -137,6 +137,10 @@ class FusedEngine:
     # XLA scheduler crawl (>20 min compiles); chunks of ~80 trees compile
     # in seconds and chain as async dispatches with zero host syncs.
     FRONT_CHUNK = 80
+    # static Pallas front tile geometry (128x512 keeps the unrolled
+    # kernel's live temp set within the 16MB scoped-VMEM budget)
+    TILE_H = 128
+    TILE_W = 512
 
     def _build(self, plan, max_det: int):
         from cascadeclassifier_tpu.detect.detector import (
@@ -170,7 +174,11 @@ class FusedEngine:
         # inside nonzero run on the compressed row set (~half the canvas)
         grid_rows = np.nonzero(plan.row_is_grid[:out_h])[0].astype(np.int32)
         nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
-        nonzero_det = make_nonzero_fn(out_h, out_w, max_det, grid_rows)
+        nonzero_det = (
+            make_nonzero_fn(out_h, out_w, max_det, grid_rows)
+            if n_front >= n_stages
+            else None
+        )
         tail_fn = None
         if n_front < n_stages:
             mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
@@ -184,6 +192,24 @@ class FusedEngine:
                 )
             else:
                 xpatch = make_patchify_fn(packed.win_w, packed.win_h, False)
+        # statically-unrolled Pallas front (detect/pallas_front.py): rect
+        # geometry is baked into the kernel, one tile DMA serves the whole
+        # chunk. f32-mode Haar only (bit-identical to the XLA front);
+        # exact-f64 mode and LBP keep the XLA slice path.
+        use_static_front = use_pallas and is_haar and not exact
+        if use_static_front:
+            from cascadeclassifier_tpu.detect.pallas_front import (
+                front_pad_geometry,
+                make_static_front_fn,
+            )
+
+            fp_hp, fp_wp, fp_hh, fp_hw = front_pad_geometry(
+                plan.canvas_h, plan.canvas_w, packed.win_w, packed.win_h,
+                self.TILE_H, self.TILE_W,
+            )
+            pad_min = (fp_hp + fp_hh, fp_wp + fp_hw)
+        else:
+            pad_min = (0, 0)
 
         def stage_pass(sum2d, inv_nf, si):
             st = packed.stages[si]
@@ -212,11 +238,15 @@ class FusedEngine:
             )
             if sq2d is None:
                 sq2d = sum2d
-            # emit the sum canvas pre-padded for the patch extractor's
-            # aligned DMAs (a separate 88 MB jnp.pad program costs ~33 ms;
-            # fused with the integral build it is ~free). All downstream
-            # consumers slice fixed offsets, so padding is transparent.
-            return pad_canvas_for_patchify(sum2d, packed.win_h), sq2d
+            # emit the sum canvas pre-padded for the patch extractor's and
+            # static front's aligned DMAs (a separate 88 MB jnp.pad program
+            # costs ~33 ms; fused with the integral build it is ~free). All
+            # downstream consumers slice fixed offsets, so padding is
+            # transparent.
+            return (
+                pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min),
+                sq2d,
+            )
 
         def prep(sum2d, sq2d, tab):
             """Gate + stage 0 + the serial-walk visited mask."""
@@ -244,7 +274,18 @@ class FusedEngine:
             m0 = gate & (~passed0)
             visited = parity_visited(m0, grid, ordinal)
             alive = gate & grid & passed0 & visited
-            return inv_nf, alive
+            if use_static_front:
+                # the static front consumes tile-grid-padded masks; the
+                # pads fuse into this program (~free)
+                inv_f = jnp.ones((fp_hp, fp_wp), jnp.float32)
+                inv_f = inv_f.at[:out_h, :out_w].set(inv_nf)
+                alive_f = (
+                    jnp.zeros((fp_hp, fp_wp), jnp.int8)
+                    .at[:out_h, :out_w]
+                    .set(alive.astype(jnp.int8))
+                )
+                return inv_nf, inv_f, alive_f
+            return inv_nf, inv_nf, alive
 
         # dense front chunks of ≤ FRONT_CHUNK trees
         chunks = []
@@ -269,6 +310,10 @@ class FusedEngine:
 
         def compact_collect(sum2d, inv_nf, alive):
             """Survivor extraction, re-compacting MXU tail, collection."""
+            from cascadeclassifier_tpu.detect.compact import _nonzero_1d
+
+            if use_static_front:
+                alive = alive[:out_h, :out_w] != 0
             cnt = jnp.sum(alive, dtype=jnp.int32)
             oflow = cnt > tail_n
             if n_front < n_stages:
@@ -284,20 +329,40 @@ class FusedEngine:
                     ps, pt, inv_nf.reshape(-1)[idx], cnt
                 )
                 oflow = oflow | t_oflow
-                alive = (
-                    jnp.zeros(out_h * out_w, jnp.int8)
-                    .at[idx[widx]]
-                    .max(t_alive.astype(jnp.int8))
-                    .reshape(out_h, out_w)
-                    != 0
+                # final detections come straight from the tail's survivor
+                # slots: widx (ascending original tail rows) → idx keeps
+                # OpenCV scan order, and the only compaction left is a
+                # cheap 1-D sort over the final batch — the second
+                # full-grid row-sort (nonzero_det) cost ~17 ms/frame
+                fcnt = jnp.sum(t_alive, dtype=jnp.int32)
+                k = min(max_det, int(t_alive.shape[0]))
+                sel = _nonzero_1d(t_alive.astype(jnp.int32), k)
+                fidx = idx[widx[sel]]
+                if k < max_det:
+                    fidx = jnp.pad(fidx, (0, max_det - k))
+                fidx = jnp.where(
+                    jnp.arange(max_det, dtype=jnp.int32) < fcnt, fidx, 0
                 )
-            fcnt = jnp.sum(alive, dtype=jnp.int32)
-            fidx = nonzero_det(alive)
+            else:
+                fcnt = jnp.sum(alive, dtype=jnp.int32)
+                fidx = nonzero_det(alive)
             return fidx, fcnt, cnt, oflow
 
+        if use_static_front:
+            fronts = [
+                make_static_front_fn(
+                    packed.stages, ids, packed.win_w, packed.win_h,
+                    plan.canvas_h, plan.canvas_w,
+                    self.TILE_H, self.TILE_W,
+                    interpret=self.interpret,
+                )[0]
+                for ids in chunks
+            ]
+        else:
+            fronts = [jax.jit(make_front(ids)) for ids in chunks]
         return (
             (jax.jit(canvas), jax.jit(prep)),
-            [jax.jit(make_front(ids)) for ids in chunks],
+            fronts,
             jax.jit(compact_collect),
             consts,
         )
@@ -309,9 +374,9 @@ class FusedEngine:
         returns device arrays (fidx, fcnt, tail_cnt, overflow)."""
         (canvas, prep), fronts, tail, (R, Cs) = self.program(plan, max_det)
         sum2d, sq2d = canvas(jnp.asarray(img), tab, R, Cs)
-        inv_nf, alive = prep(sum2d, sq2d, tab)
+        inv_nf, inv_front, alive = prep(sum2d, sq2d, tab)
         for f in fronts:
-            alive = f(sum2d, inv_nf, alive)
+            alive = f(sum2d, inv_front, alive)
         return tail(sum2d, inv_nf, alive)
 
     def finish(self, out, max_det: int):

@@ -1,0 +1,191 @@
+"""Statically-unrolled Pallas kernel for the dense cascade front.
+
+The XLA dense path (detect/dense.py) materializes ~8 canvas-sized shifted
+slices per stump (~700 MB of HBM traffic per tree at 1080p) — measured
+~0.6 ms/tree, HBM-bound. The loop-rolled Pallas kernel (pallas_stage.py)
+reads each tile once but pays a dynamic 8-way `lax.switch` + `pltpu.roll`
+per rectangle because rect offsets live in SMEM.
+
+This kernel exploits that tree geometry is a COMPILE-TIME constant: the
+Python tracer unrolls every tree of the chunk into static VMEM slices of
+the tile (arbitrary static sublane/lane offsets lower to cheap shifts),
+so the whole chunk evaluates at full VPU rate from one tile DMA:
+
+  rect sum at every tile position
+    = (T[ry, :] − T[ry+h, :])[rx : rx+tw] − (…)[rx+w : rx+w+tw]
+  (2 sublane-shifted row differences + 2 lane-shifted column differences)
+
+Per-tile early exit (the TPU shape of the reference detector's
+per-window early exit, SURVEY §3.2): a tile whose survivor mask is empty
+skips the canvas DMA and all arithmetic; each stage inside the chunk is
+additionally guarded by a live-mask check.
+
+Arithmetic matches dense_stage_haar(exact=False) operation-for-operation
+(i32 rect sums → f32 · weight in rect order, val = raw·inv_nf, leaf by
+val < thr, f32 stage accumulation), so results are bit-identical to the
+XLA front in f32 mode. Exact-f64 mode keeps the XLA front (no f64 on the
+TPU VPU).
+
+Replaces the per-window stage loop of the OpenCV runtime (reference
+tools/detection/Cpp/main.cpp:42-49 → cv::CascadeClassifier internals).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def front_pad_geometry(canvas_h, canvas_w, win_w, win_h,
+                       tile_h, tile_w):
+    """Padded canvas/mask geometry for the static front kernel.
+
+    Returns (hp, wp, halo_h, halo_w): masks are (hp, wp); the canvas must
+    be at least (hp + halo_h, wp + halo_w)."""
+    out_h = canvas_h - win_h
+    out_w = canvas_w - win_w
+    hp = -(-out_h // tile_h) * tile_h
+    wp = -(-out_w // tile_w) * tile_w
+    halo_h = -(-win_h // 8) * 8
+    halo_w = -(-win_w // 128) * 128
+    return hp, wp, halo_h, halo_w
+
+
+def make_static_front_fn(
+    stages,
+    stage_ids,
+    win_w: int,
+    win_h: int,
+    canvas_h: int,
+    canvas_w: int,
+    tile_h: int = 256,
+    tile_w: int = 512,
+    interpret: bool = False,
+):
+    """Build fn(sum_pad, inv_pad, alive_pad) → alive' for untilted stump
+    Haar stages.
+
+    sum_pad  : (≥hp+halo_h, ≥wp+halo_w) int32 padded integral canvas
+    inv_pad  : (hp, wp) float32 1/normfactor
+    alive_pad: (hp, wp) int8/bool survivor mask
+    returns  : (hp, wp) int8 mask — alive ∧ all chunk stages passed."""
+    hp, wp, halo_h, halo_w = front_pad_geometry(
+        canvas_h, canvas_w, win_w, win_h, tile_h, tile_w
+    )
+    grid = (hp // tile_h, wp // tile_w)
+    th, tw = tile_h, tile_w
+    W = tw + halo_w
+
+    # freeze chunk parameters as plain Python (traced into the kernel)
+    frozen = []
+    for si in stage_ids:
+        st = stages[si]
+        trees = []
+        for t in range(st.ntrees):
+            assert not st.tilted[t], "static front is untilted-only"
+            rects = []
+            for r in range(3):
+                wt = float(st.weights[t, r])
+                if wt == 0.0:
+                    continue
+                x, y, w, h = (int(v) for v in st.feat_rects[t, r])
+                rects.append((x, y, w, h, np.float32(wt)))
+            trees.append(
+                (rects, np.float32(st.thr[t]),
+                 np.float32(st.left_leaf[t]), np.float32(st.right_leaf[t]))
+            )
+        frozen.append((trees, np.float32(st.threshold)))
+
+    def kernel(sum_hbm, inv_ref, alive_ref, out_ref, tile, acc, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # int masks + max-reductions throughout: Mosaic cannot relayout
+        # 2D i1 vectors for scalar reductions
+        alive_in = alive_ref[:].astype(jnp.int32)
+
+        def dead():
+            out_ref[:] = jnp.zeros((th, tw), jnp.int8)
+
+        def live():
+            cp = pltpu.make_async_copy(
+                sum_hbm.at[
+                    pl.ds(i * th, th + halo_h), pl.ds(j * tw, W)
+                ],
+                tile,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            inv = inv_ref[:]
+
+            def rect_sum(x, y, w, h):
+                d = tile[y : y + th, :] - tile[y + h : y + h + th, :]
+                return d[:, x : x + tw] - d[:, x + w : x + w + tw]
+
+            def stage_pass(alive_any, trees, sthr):
+                # accumulate through the VMEM scratch ref; evaluate trees
+                # in small cond-guarded groups. The cond regions are hard
+                # scheduling barriers: without them Mosaic hoists ~one
+                # live tile-sized temp per tree across the whole stage and
+                # blows the 16MB scoped-VMEM budget on large stages.
+                acc[:] = jnp.zeros((th, tw), jnp.float32)
+                G = 8
+                for g0 in range(0, len(trees), G):
+                    group = trees[g0 : g0 + G]
+
+                    def group_body(group=group):
+                        s = acc[:]
+                        for (rects, thr, ll, rr) in group:
+                            raw = None
+                            for (x, y, w, h, wt) in rects:
+                                term = (
+                                    rect_sum(x, y, w, h).astype(jnp.float32)
+                                    * wt
+                                )
+                                raw = term if raw is None else raw + term
+                            val = raw * inv
+                            s = s + jnp.where(val < thr, ll, rr)
+                        acc[:] = s
+
+                    jax.lax.cond(alive_any, group_body, lambda: None)
+                return (acc[:] >= sthr).astype(jnp.int32)
+
+            a = alive_in
+            for (trees, sthr) in frozen:
+                alive_any = jnp.max(a) > 0
+                a = a * stage_pass(alive_any, trees, sthr)
+            out_ref[:] = a.astype(jnp.int8)
+
+        jax.lax.cond(jnp.max(alive_in) > 0, live, dead)
+
+    blk = lambda: pl.BlockSpec(  # noqa: E731
+        (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk(), blk()],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((th + halo_h, W), jnp.int32),
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # the unrolled body's live slice temps exceed the 16MB scoped
+        # default; v5e VMEM is far larger — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def run(sum_pad, inv_pad, alive_pad):
+        return call(sum_pad, inv_pad, alive_pad.astype(jnp.int8))
+
+    return jax.jit(run), (hp, wp, halo_h, halo_w)

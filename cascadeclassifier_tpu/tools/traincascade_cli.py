@@ -54,10 +54,45 @@ def build_parser():
     p.add_argument("-maxWeakCount", type=int, default=100)
     # haar params
     p.add_argument("-mode", default="BASIC", choices=["BASIC", "CORE", "ALL"])
+    # multi-chip (new capability vs the reference, SURVEY §2.6): shard the
+    # feature axis of the split search over a device mesh
+    p.add_argument("-numDevices", type=int, default=None,
+                   help="devices in the feature-sharded training mesh "
+                   "(0/1 = single device; default: all local devices "
+                   "when more than one is visible)")
+    p.add_argument("-distCoordinator", default=None,
+                   help="host:port of process 0 for multi-host training "
+                   "(jax.distributed over DCN)")
+    p.add_argument("-distNumProcesses", type=int, default=None)
+    p.add_argument("-distProcessId", type=int, default=None)
     return p
 
 
-def make_trainer(args):
+def resolve_mesh(args):
+    """Build the training mesh the flags describe (None = single device).
+
+    Multi-host first: -distCoordinator triggers jax.distributed.initialize
+    so jax.devices() spans every host's chips over DCN; the feature mesh
+    then covers the global device set."""
+    import jax
+
+    if args.distCoordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.distCoordinator,
+            num_processes=args.distNumProcesses,
+            process_id=args.distProcessId,
+        )
+    n = args.numDevices
+    if n is None:
+        n = len(jax.devices())
+    if n is not None and n <= 1:
+        return None
+    from cascadeclassifier_tpu.parallel.sharded import make_mesh
+
+    return make_mesh(n)
+
+
+def make_trainer(args, mesh=None):
     boost = BoostParams(
         boost_type=BOOST_TYPE_IDS[args.bt],
         min_hit_rate=args.minHitRate,
@@ -74,6 +109,7 @@ def make_trainer(args):
         boost=boost,
         precalc_val_mb=args.precalcValBufSize,
         precalc_idx_mb=args.precalcIdxBufSize,
+        mesh=mesh,
     )
 
 
@@ -109,8 +145,11 @@ def print_parameters(args, trainer):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    trainer = make_trainer(args)
+    mesh = resolve_mesh(args)
+    trainer = make_trainer(args, mesh=mesh)
     print_parameters(args, trainer)
+    if mesh is not None:
+        print(f"trainingMesh: {dict(mesh.shape)}")
     model = trainer.train(
         args.data,
         args.vec,

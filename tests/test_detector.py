@@ -79,6 +79,71 @@ def test_lbp_raw_window_parity(oracle_bin, tmp_path, face_img):
     assert ours == ref
 
 
+def test_static_front_matches_dense(tmp_path):
+    """The statically-unrolled Pallas front (interpret mode) is
+    bit-identical to the XLA dense f32 path over stages 1..3."""
+    import jax.numpy as jnp
+
+    from cascadeclassifier_tpu.detect.compact import pad_canvas_for_patchify
+    from cascadeclassifier_tpu.detect.dense import (
+        dense_stage_haar,
+        dense_variance_gate,
+    )
+    from cascadeclassifier_tpu.detect.detector import (
+        PackedCascade,
+        _build_canvas,
+        _resize_matrices,
+        plan_tables,
+    )
+    from cascadeclassifier_tpu.detect.pallas_front import (
+        make_static_front_fn,
+    )
+    from cascadeclassifier_tpu.detect.pyramid import build_plan
+
+    m = read_cascade_xml(HAAR_ALT)
+    packed = PackedCascade.from_model(m)
+    rng = np.random.default_rng(5)
+    w, h = 160, 120
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    plan = build_plan(w, h, packed.win_w, packed.win_h, 1.1, None, None)
+    tab = plan_tables(plan)
+    sum2d, sq2d, _ = _build_canvas(
+        jnp.asarray(img), tab, w, h, need_sq=True,
+        resize_mats=_resize_matrices(plan),
+    )
+    out_h = plan.canvas_h - packed.win_h
+    out_w = plan.canvas_w - packed.win_w
+    gate, inv_nf = dense_variance_gate(
+        sum2d, sq2d, packed.win_w, packed.win_h, out_h, out_w
+    )
+    ref = gate
+    for si in (1, 2, 3):
+        st = packed.stages[si]
+        ref = ref & (
+            dense_stage_haar(
+                sum2d, sum2d, st, out_h, out_w, inv_nf, exact=False
+            )
+            >= jnp.float32(st.threshold)
+        )
+    fn, (hp, wp, hh, hw) = make_static_front_fn(
+        packed.stages, [1, 2, 3], packed.win_w, packed.win_h,
+        plan.canvas_h, plan.canvas_w, 64, 128, interpret=True,
+    )
+    sum_pad = pad_canvas_for_patchify(
+        sum2d, packed.win_h, hp + hh, wp + hw
+    )
+    inv_pad = jnp.ones((hp, wp), jnp.float32).at[:out_h, :out_w].set(inv_nf)
+    alive = (
+        jnp.zeros((hp, wp), jnp.int8)
+        .at[:out_h, :out_w]
+        .set(gate.astype(jnp.int8))
+    )
+    got = np.asarray(fn(sum_pad, inv_pad, alive))[:out_h, :out_w] != 0
+    refn = np.asarray(ref)
+    assert refn.sum() > 1000  # non-vacuous
+    np.testing.assert_array_equal(got, refn)
+
+
 def test_visit_set_matches_oracle_exactly(oracle_bin, tmp_path):
     """Pin the exact window visit-set + output mapping of the OpenCV 4.x
     invoker (pure numpy vs an always-pass cascade run through the C++

@@ -153,3 +153,62 @@ def test_stage_trainer_budgeted_cache_identical():
     _stages_equal(s_full, s_budget)
     n_val, n_idx, nb = cache_probe[0]
     assert nb > 1 and n_val == 1 and n_idx == 0
+
+
+@needs_8
+def test_cli_mesh_flag_resolves():
+    """-numDevices builds the feature mesh the trainer receives."""
+    from cascadeclassifier_tpu.tools.traincascade_cli import (
+        build_parser,
+        make_trainer,
+        resolve_mesh,
+    )
+
+    args = build_parser().parse_args(
+        ["-data", "/tmp/x", "-vec", "a.vec", "-bg", "bg.txt",
+         "-numDevices", "8", "-w", "12", "-h", "12"]
+    )
+    mesh = resolve_mesh(args)
+    assert mesh is not None and dict(mesh.shape) == {"feat": 8}
+    tr = make_trainer(args, mesh=mesh)
+    assert tr.mesh is mesh
+    # 0/1 devices -> single-device path
+    args1 = build_parser().parse_args(
+        ["-data", "/tmp/x", "-vec", "a.vec", "-bg", "bg.txt",
+         "-numDevices", "1"]
+    )
+    assert resolve_mesh(args1) is None
+
+
+@needs_8
+@pytest.mark.slow
+def test_cli_sharded_training_identical(tmp_path):
+    """CLI-driven sharded training (-numDevices 8) writes stages
+    byte-identical to the single-device run (VERDICT r2 item 4)."""
+    import cv2
+
+    from cascadeclassifier_tpu.data.vec import write_vec
+    from cascadeclassifier_tpu.tools.traincascade_cli import main
+
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, 90, (120, 12, 12)).astype(np.uint8)
+    pos[:, 3:9, 3:9] = rng.integers(190, 256, (120, 6, 6))
+    write_vec(str(tmp_path / "pos.vec"), pos)
+    bg = rng.integers(0, 256, (96, 128)).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "bg.png"), bg)
+    with open(tmp_path / "bg.txt", "w") as f:
+        f.write(str(tmp_path / "bg.png") + "\n")
+
+    outs = {}
+    for nd in (1, 8):
+        d = tmp_path / f"data{nd}"
+        d.mkdir()
+        rc = main(
+            ["-data", str(d), "-vec", str(tmp_path / "pos.vec"),
+             "-bg", str(tmp_path / "bg.txt"), "-w", "12", "-h", "12",
+             "-numPos", "100", "-numNeg", "80", "-numStages", "1",
+             "-maxWeakCount", "3", "-numDevices", str(nd)]
+        )
+        assert rc == 0
+        outs[nd] = (d / "stage0.xml").read_text()
+    assert outs[1] == outs[8]

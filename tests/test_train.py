@@ -188,7 +188,6 @@ def test_stage_trainer_lbp_categorical():
     assert stage.trees[0].subsets is not None
 
 
-@pytest.mark.slow
 def test_stage_trainer_depth2():
     samples, labels = _toy_samples()
     ev = HaarTrainEvaluator(haar_catalog(12, 12, "BASIC"), block_size=4096)
