@@ -669,17 +669,28 @@ class TPUDetector:
         one result fetch per frame, pipelined so the host↔device round trip
         amortizes across the batch (fused engine only). Returns a list of
         (N_i, 4) rect arrays."""
+        on_device = isinstance(frames, jnp.ndarray)
         if self.engine != "fused":
+            if on_device:
+                frames = list(np.asarray(frames))
             return [
                 self.detect_multi_scale(
                     f, scale_factor, min_neighbors, min_size, max_size
                 )
                 for f in frames
             ]
-        frames = [np.ascontiguousarray(f) for f in frames]
-        h, w = frames[0].shape
-        for f in frames:
-            assert f.shape == (h, w) and f.dtype == np.uint8
+        if on_device:
+            # pre-staged device-resident stack (N, H, W) uint8: serving
+            # pipelines keep frames in HBM; no host transfer in this path
+            stack = frames
+            n_frames, h, w = stack.shape
+            assert stack.dtype == jnp.uint8
+        else:
+            frames = [np.ascontiguousarray(f) for f in frames]
+            n_frames = len(frames)
+            h, w = frames[0].shape
+            for f in frames:
+                assert f.shape == (h, w) and f.dtype == np.uint8
         plan = build_plan(
             w, h, self.packed.win_w, self.packed.win_h, scale_factor,
             tuple(min_size) if min_size else None,
@@ -689,15 +700,16 @@ class TPUDetector:
         if tkey not in self._compiled:
             self._compiled[tkey] = plan_tables(plan)
         tab = self._compiled[tkey]
-        # ship the whole batch as ONE host→device transfer: a per-frame
-        # put costs a full tunnel round trip (~29 ms measured) while the
-        # stacked put pays it once; frames are then device-side slices
-        stack = jnp.asarray(np.stack(frames))
+        if not on_device:
+            # ship the whole batch as ONE host→device transfer: a per-frame
+            # put costs a full tunnel round trip (~29 ms measured) while the
+            # stacked put pays it once; frames are then device-side slices
+            stack = jnp.asarray(np.stack(frames))
         # submit every frame before fetching any result: dispatches are
         # async, so the device pipeline stays full while results stream
         outs = [
             self._fused.detect_async(plan, tab, stack[i], max_det)
-            for i in range(len(frames))
+            for i in range(n_frames)
         ]
         # pack the whole batch into ONE device array and fetch it with a
         # single host round trip (~28 ms each through the tunnel —
@@ -721,7 +733,7 @@ class TPUDetector:
             self._compiled[pkey] = jax.jit(_pack)
         host = np.asarray(self._compiled[pkey](outs))
         results = []
-        for i, f in enumerate(frames):
+        for i in range(n_frames):
             fidx = host[i, :max_det]
             fcnt = int(host[i, max_det])
             cnt = int(host[i, max_det + 1])
@@ -751,6 +763,7 @@ class TPUDetector:
                     self._fallback = TPUDetector(
                         self.model, exact=self.exact, engine=fb
                     )
+                f = np.asarray(stack[i]) if on_device else frames[i]
                 results.append(
                     self._fallback.detect_multi_scale(
                         f, scale_factor, min_neighbors, min_size, max_size,
