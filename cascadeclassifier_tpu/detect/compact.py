@@ -460,6 +460,57 @@ def make_nonzero_fn(out_h, out_w, n_max, grid_rows=None):
     return jax.jit(fn)
 
 
+def make_sparse_nonzero_fn(out_h, out_w, n_max, k_rows, grid_rows=None):
+    """fn(mask (H,W) bool) -> (idx (n_max,) i32, total i32, row_oflow bool)
+
+    Row-compressed variant of make_nonzero_fn for VERY sparse masks (final
+    detections): the per-row int16 sort — the dominant cost of the full
+    version (~21 ms at 1080p) — runs only on the ≤ k_rows rows that
+    actually contain survivors. Per-row counts (one cheap reduction over
+    the mask) select the live rows; row_oflow reports live rows > k_rows
+    (caller falls back to a full extraction). Ascending flat indices —
+    identical order to make_nonzero_fn."""
+    assert out_w < 2**15
+    if grid_rows is not None:
+        gr = np.asarray(grid_rows, np.int32)
+        n_rows = len(gr)
+        gr_j = jnp.asarray(gr)
+    else:
+        n_rows = out_h
+
+    def fn(mask):
+        if grid_rows is not None:
+            mask = jnp.take(mask, gr_j, axis=0)
+        rcnt = jnp.sum(mask, axis=1, dtype=jnp.int32)  # (n_rows,)
+        live = (rcnt > 0).astype(jnp.int32)
+        nlive = jnp.sum(live)
+        row_oflow = nlive > k_rows
+        rsel = _nonzero_1d(live, k_rows)  # ascending live-row ids (clamped)
+        valid = jnp.arange(k_rows, dtype=jnp.int32) < nlive
+        sub = jnp.take(mask, rsel, axis=0) & valid[:, None]
+        keys = jnp.where(
+            sub,
+            jax.lax.broadcasted_iota(jnp.int16, (k_rows, out_w), 1),
+            jnp.int16(out_w),
+        )
+        packed = jax.lax.sort(keys, dimension=1)  # survivors first
+        scnt = jnp.take(rcnt, rsel) * valid
+        scum = jnp.cumsum(scnt)  # inclusive
+        total = scum[-1]
+        q = jnp.arange(n_max, dtype=jnp.int32)
+        rowq = jnp.searchsorted(scum, q, side="right").astype(jnp.int32)
+        rowq = jnp.minimum(rowq, k_rows - 1)
+        jq = q - (jnp.take(scum, rowq) - jnp.take(scnt, rowq))
+        colq = packed[rowq, jq].astype(jnp.int32)
+        srow = jnp.take(rsel, rowq)
+        out_row = jnp.take(gr_j, srow) if grid_rows is not None else srow
+        idx = out_row * out_w + colq
+        idx = jnp.where(q < total, idx, 0).astype(jnp.int32)
+        return idx, total, row_oflow
+
+    return jax.jit(fn)
+
+
 def make_patchify_fn(win_w, win_h, need_tilt):
     """fn(sum2d, tilt2d, r (N,), c (N,)) -> ((N,P) i32, (N,P) i32|None)
 

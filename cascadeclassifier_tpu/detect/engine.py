@@ -42,6 +42,7 @@ from cascadeclassifier_tpu.detect.compact import (
     make_nonzero_fn,
     make_pallas_patchify,
     make_patchify_fn,
+    make_sparse_nonzero_fn,
     make_tail_compact_fn,
     pad_canvas_for_patchify,
 )
@@ -137,10 +138,18 @@ class FusedEngine:
     # XLA scheduler crawl (>20 min compiles); chunks of ~80 trees compile
     # in seconds and chain as async dispatches with zero host syncs.
     FRONT_CHUNK = 80
-    # static Pallas front tile geometry (128x512 keeps the unrolled
-    # kernel's live temp set within the 16MB scoped-VMEM budget)
-    TILE_H = 128
+    # Trees per static-Pallas kernel (Mosaic compile time scales with the
+    # unrolled tree count; chunking bounds it while the per-tile dead-skip
+    # still shortcuts whole chunks for tiles whose survivors are gone)
+    STATIC_CHUNK = 250
+    # static Pallas front tile geometry: fine tiles make the per-tile
+    # early-exit track survivor clustering (the TPU shape of the
+    # reference's per-window early exit) — at 128x512 almost every tile
+    # keeps one straggler and the whole canvas pays for every stage
+    TILE_H = 32
     TILE_W = 512
+    # live-row capacity of the final sparse detection extraction
+    K_ROWS = 512
 
     def _build(self, plan, max_det: int):
         from cascadeclassifier_tpu.detect.detector import (
@@ -173,18 +182,27 @@ class FusedEngine:
         # survivors only ever sit on ystep grid rows — the per-row sorts
         # inside nonzero run on the compressed row set (~half the canvas)
         grid_rows = np.nonzero(plan.row_is_grid[:out_h])[0].astype(np.int32)
-        nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
-        nonzero_det = (
-            make_nonzero_fn(out_h, out_w, max_det, grid_rows)
-            if n_front >= n_stages
-            else None
+        use_pallas = jax.default_backend() == "tpu" and not self.interpret
+        # statically-unrolled Pallas path (detect/pallas_front.py): rect
+        # geometry is baked into the kernels and the WHOLE cascade runs
+        # densely in fine-tiled VPU kernels whose per-tile dead-skip
+        # tracks survivor clustering — no patchify / MXU tail / static
+        # tail capacity at all. f32 stump-Haar only (bit-identical to the
+        # XLA front); exact-f64 mode and LBP keep the XLA front + tail.
+        use_static_front = (
+            (use_pallas or self.interpret) and is_haar and not exact
         )
-        tail_fn = None
-        if n_front < n_stages:
+        n_dense = n_stages if use_static_front else n_front
+        nonzero_tail = nonzero_det = tail_fn = sparse_det = None
+        if use_static_front:
+            sparse_det = make_sparse_nonzero_fn(
+                out_h, out_w, max_det,
+                min(self.K_ROWS, len(grid_rows)), grid_rows,
+            )
+        elif n_dense < n_stages:
+            nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
             mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
             tail_fn = mk(packed, n_front, exact, tail_n)
-        use_pallas = jax.default_backend() == "tpu" and not self.interpret
-        if n_front < n_stages:
             if use_pallas:
                 ppatch, _ = make_pallas_patchify(
                     packed.win_w, packed.win_h,
@@ -192,11 +210,8 @@ class FusedEngine:
                 )
             else:
                 xpatch = make_patchify_fn(packed.win_w, packed.win_h, False)
-        # statically-unrolled Pallas front (detect/pallas_front.py): rect
-        # geometry is baked into the kernel, one tile DMA serves the whole
-        # chunk. f32-mode Haar only (bit-identical to the XLA front);
-        # exact-f64 mode and LBP keep the XLA slice path.
-        use_static_front = use_pallas and is_haar and not exact
+        else:
+            nonzero_det = make_nonzero_fn(out_h, out_w, max_det, grid_rows)
         if use_static_front:
             from cascadeclassifier_tpu.detect.pallas_front import (
                 front_pad_geometry,
@@ -287,13 +302,14 @@ class FusedEngine:
                 return inv_nf, inv_f, alive_f
             return inv_nf, inv_nf, alive
 
-        # dense front chunks of ≤ FRONT_CHUNK trees
+        # dense front chunks of ≤ FRONT_CHUNK / STATIC_CHUNK trees
+        chunk_cap = self.STATIC_CHUNK if use_static_front else self.FRONT_CHUNK
         chunks = []
         cur, budget = [], 0
-        for si in range(1, n_front):
+        for si in range(1, n_dense):
             cur.append(si)
             budget += packed.stages[si].ntrees
-            if budget >= self.FRONT_CHUNK:
+            if budget >= chunk_cap:
                 chunks.append(cur)
                 cur, budget = [], 0
         if cur:
@@ -313,7 +329,12 @@ class FusedEngine:
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
             if use_static_front:
+                # the static kernels already ran EVERY stage — survivors
+                # ARE the raw detections; extract them sparsely
                 alive = alive[:out_h, :out_w] != 0
+                fidx, fcnt, row_oflow = sparse_det(alive)
+                oflow = row_oflow | (fcnt > max_det)
+                return fidx, fcnt, fcnt, oflow
             cnt = jnp.sum(alive, dtype=jnp.int32)
             oflow = cnt > tail_n
             if n_front < n_stages:
@@ -389,8 +410,10 @@ class FusedEngine:
         fidx, fcnt, cnt, oflow = (np.asarray(x) for x in out)
         if bool(oflow):
             raise OverflowError(
-                f"front survivors ({int(cnt)}) or a tail re-compaction "
-                f"step exceeded static capacity (tail_n={self.tail_n})"
+                f"a static capacity was exceeded: front survivors "
+                f"({int(cnt)}) vs tail_n={self.tail_n}, a tail "
+                f"re-compaction step, detection rows vs K_ROWS="
+                f"{self.K_ROWS}, or raw detections vs max_det"
             )
         if int(fcnt) > max_det:
             raise RuntimeError(

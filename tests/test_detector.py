@@ -365,6 +365,42 @@ def test_fused_engine_matches_xla(face_img):
         assert got == ref and len(got) > 0
 
 
+def test_fused_static_engine_parity():
+    """End-to-end fused engine on the statically-unrolled Pallas front
+    (interpret mode): the WHOLE cascade runs in fine-tiled kernels and
+    detections come from the sparse row-compressed extraction — must
+    match the XLA engine exactly."""
+    import dataclasses
+
+    m = read_cascade_xml(HAAR_ALT)
+    m6 = dataclasses.replace(m, stages=list(m.stages[:6]))
+    img = face_blob_image(240, 180, n=4, seed=7)
+    fus = TPUDetector(m6, exact=False, engine="fused",
+                      pallas_interpret=True)
+    assert fus._fused is not None
+    got = sorted(map(tuple, fus.detect_multi_scale(img, 1.2, 0)))
+    ref = TPUDetector(m6, exact=False, engine="xla")
+    want = sorted(map(tuple, ref.detect_multi_scale(img, 1.2, 0)))
+    assert got == want and len(got) > 0
+
+
+def test_fused_lbp_engine_parity():
+    """The fused LBP path (LBP prep without variance gate + LBP compact
+    tail) must match the XLA engine exactly."""
+    import dataclasses
+
+    m = read_cascade_xml(LBP_FRONTAL)
+    m4 = dataclasses.replace(m, stages=list(m.stages[:4]))
+    img = face_blob_image(240, 180, n=4, seed=9)
+    fus = TPUDetector(m4, exact=False, engine="fused")
+    assert fus._fused is not None
+    fus._fused.tail_n = 4096
+    got = sorted(map(tuple, fus.detect_multi_scale(img, 1.2, 0)))
+    ref = TPUDetector(m4, exact=False, engine="xla")
+    want = sorted(map(tuple, ref.detect_multi_scale(img, 1.2, 0)))
+    assert got == want and len(got) > 0
+
+
 def test_parity_visited_matches_walk_scan():
     """Closed-form visited mask == the serial lax.scan walk."""
     import jax.numpy as jnp
