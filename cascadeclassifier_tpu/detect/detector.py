@@ -714,24 +714,34 @@ class TPUDetector:
         # pack the whole batch into ONE device array and fetch it with a
         # single host round trip (~28 ms each through the tunnel —
         # per-frame per-array fetches would dominate the batch)
-        pkey = ("pack", max_det, len(outs))
-        if pkey not in self._compiled:
-            def _pack(outs_flat):
-                rows = [
-                    jnp.concatenate([
-                        fidx.astype(jnp.int32),
-                        jnp.stack([
-                            fcnt.astype(jnp.int32),
-                            cnt.astype(jnp.int32),
-                            oflow.astype(jnp.int32),
-                        ]),
-                    ])
-                    for (fidx, fcnt, cnt, oflow) in outs_flat
-                ]
-                return jnp.stack(rows)
+        def _pack(outs_flat):
+            rows = [
+                jnp.concatenate([
+                    fidx.astype(jnp.int32),
+                    jnp.stack([
+                        fcnt.astype(jnp.int32),
+                        cnt.astype(jnp.int32),
+                        oflow.astype(jnp.int32),
+                    ]),
+                ])
+                for (fidx, fcnt, cnt, oflow) in outs_flat
+            ]
+            return jnp.stack(rows)
 
-            self._compiled[pkey] = jax.jit(_pack)
-        host = np.asarray(self._compiled[pkey](outs))
+        # pack in fixed-size chunks so the pack program compiles once per
+        # chunk size (a len(outs)-sized program would recompile for every
+        # new batch size — ~0.5 s inside the user's timed region); chunk
+        # fetches are submitted before any is awaited, so the ~28 ms
+        # tunnel round trips overlap
+        PACK = 8
+        packed_chunks = []
+        for o0 in range(0, len(outs), PACK):
+            chunk = outs[o0 : o0 + PACK]
+            pkey = ("pack", max_det, len(chunk))
+            if pkey not in self._compiled:
+                self._compiled[pkey] = jax.jit(_pack)
+            packed_chunks.append(self._compiled[pkey](chunk))
+        host = np.concatenate([np.asarray(p) for p in packed_chunks])
         results = []
         for i in range(n_frames):
             fidx = host[i, :max_det]

@@ -150,6 +150,11 @@ class FusedEngine:
     TILE_W = 512
     # live-row capacity of the final sparse detection extraction
     K_ROWS = 512
+    # trees evaluated densely by the static-Pallas front before cutting
+    # over to the sparse MXU tail: by then the survivor count has
+    # collapsed and per-window tail matmuls beat dense VPU passes over
+    # mostly-dead tiles; ~one STATIC_CHUNK keeps the front one kernel
+    STATIC_FRONT_TREES = 250
 
     def _build(self, plan, max_det: int):
         from cascadeclassifier_tpu.detect.detector import (
@@ -192,17 +197,25 @@ class FusedEngine:
         use_static_front = (
             (use_pallas or self.interpret) and is_haar and not exact
         )
-        n_dense = n_stages if use_static_front else n_front
-        nonzero_tail = nonzero_det = tail_fn = sparse_det = None
         if use_static_front:
-            sparse_det = make_sparse_nonzero_fn(
-                out_h, out_w, max_det,
-                min(self.K_ROWS, len(grid_rows)), grid_rows,
-            )
-        elif n_dense < n_stages:
+            # dense static-Pallas stages until ~STATIC_FRONT_TREES trees
+            # have run (by then survivors fit the MXU tail comfortably);
+            # the dense VPU work per tree is the dominant frame cost, so
+            # the boundary sits as early as the tail capacity allows
+            n_dense, budget = n_stages, 0
+            for si in range(1, n_stages):
+                budget += packed.stages[si].ntrees
+                if budget >= self.STATIC_FRONT_TREES:
+                    n_dense = si + 1
+                    break
+        else:
+            n_dense = n_front
+        self.n_dense = n_dense
+        nonzero_tail = nonzero_det = tail_fn = sparse_det = None
+        if n_dense < n_stages:
             nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
             mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
-            tail_fn = mk(packed, n_front, exact, tail_n)
+            tail_fn = mk(packed, n_dense, exact, tail_n)
             if use_pallas:
                 ppatch, _ = make_pallas_patchify(
                     packed.win_w, packed.win_h,
@@ -210,6 +223,11 @@ class FusedEngine:
                 )
             else:
                 xpatch = make_patchify_fn(packed.win_w, packed.win_h, False)
+        elif use_static_front:
+            sparse_det = make_sparse_nonzero_fn(
+                out_h, out_w, max_det,
+                min(self.K_ROWS, len(grid_rows)), grid_rows,
+            )
         else:
             nonzero_det = make_nonzero_fn(out_h, out_w, max_det, grid_rows)
         if use_static_front:
@@ -329,15 +347,16 @@ class FusedEngine:
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
             if use_static_front:
+                alive = alive[:out_h, :out_w] != 0
+            if sparse_det is not None:
                 # the static kernels already ran EVERY stage — survivors
                 # ARE the raw detections; extract them sparsely
-                alive = alive[:out_h, :out_w] != 0
                 fidx, fcnt, row_oflow = sparse_det(alive)
                 oflow = row_oflow | (fcnt > max_det)
                 return fidx, fcnt, fcnt, oflow
             cnt = jnp.sum(alive, dtype=jnp.int32)
             oflow = cnt > tail_n
-            if n_front < n_stages:
+            if n_dense < n_stages:
                 idx = nonzero_tail(alive)
                 r = (idx // out_w).astype(jnp.int32)
                 c = (idx % out_w).astype(jnp.int32)
