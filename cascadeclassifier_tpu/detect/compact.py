@@ -574,73 +574,81 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         cp_rc.wait()
         cnt = rcbuf[0, 2 * G]
 
-        def valid(i):
-            return g * G + i < cnt
+        def block_body():
+            def valid(i):
+                return g * G + i < cnt
 
-        def mk_cp(i):
-            rq = pl.multiple_of((rcbuf[0, i] // 8) * 8, 8)
-            cq = pl.multiple_of((rcbuf[0, G + i] // 128) * 128, 128)
-            return pltpu.make_async_copy(
-                canvas_hbm.at[pl.ds(rq, rows), pl.ds(cq, 256)],
-                bufs.at[i % D],
-                sems.at[i % D],
-            )
-
-        def start(i):
-            @pl.when(valid(i))
-            def _():
-                mk_cp(i).start()
-
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 1)
-
-        for i in range(D - 1):
-            start(i)
-        octet = None
-        for i in range(G):
-            if i + D - 1 < G:
-                start(i + D - 1)
-            slot = i % 8
-
-            @pl.when(valid(i))
-            def _(i=i):
-                mk_cp(i).wait()
-
-            def extract(i=i, slot=slot):
-                r = rcbuf[0, i]
-                c = rcbuf[0, G + i]
-                rq = (r // 8) * 8
-                cq = (c // 128) * 128
-                buf = bufs.at[i % D]
-                v = jax.lax.switch(
-                    r - rq,
-                    [lambda j=j, b=buf: b[j : j + PH8, :] for j in range(8)],
+            def mk_cp(i):
+                rq = pl.multiple_of((rcbuf[0, i] // 8) * 8, 8)
+                cq = pl.multiple_of((rcbuf[0, G + i] // 128) * 128, 128)
+                return pltpu.make_async_copy(
+                    canvas_hbm.at[pl.ds(rq, rows), pl.ds(cq, 256)],
+                    bufs.at[i % D],
+                    sems.at[i % D],
                 )
-                # one composed roll lands the patch at lanes
-                # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
-                v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)
-                keep = (
-                    (row_i < ph)
-                    & (col_i >= 32 * slot)
-                    & (col_i < 32 * slot + pw)
+
+            def start(i):
+                @pl.when(valid(i))
+                def _():
+                    mk_cp(i).start()
+
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 1)
+
+            for i in range(D - 1):
+                start(i)
+            octet = None
+            for i in range(G):
+                if i + D - 1 < G:
+                    start(i + D - 1)
+                slot = i % 8
+
+                @pl.when(valid(i))
+                def _(i=i):
+                    mk_cp(i).wait()
+
+                def extract(i=i, slot=slot):
+                    r = rcbuf[0, i]
+                    c = rcbuf[0, G + i]
+                    rq = (r // 8) * 8
+                    cq = (c // 128) * 128
+                    buf = bufs.at[i % D]
+                    v = jax.lax.switch(
+                        r - rq,
+                        [lambda j=j, b=buf: b[j : j + PH8, :]
+                         for j in range(8)],
+                    )
+                    # one composed roll lands the patch at lanes
+                    # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
+                    v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)
+                    keep = (
+                        (row_i < ph)
+                        & (col_i >= 32 * slot)
+                        & (col_i < 32 * slot + pw)
+                    )
+                    return jnp.where(keep, v, 0)
+
+                v = jax.lax.cond(
+                    valid(i), extract,
+                    lambda: jnp.zeros((PH8, 256), jnp.int32),
                 )
-                return jnp.where(keep, v, 0)
+                octet = v if slot == 0 else octet + v
+                if slot == 7:
+                    q = i // 8
+                    pbuf[q * PH8 : (q + 1) * PH8, :] = octet
 
-            v = jax.lax.cond(
-                valid(i), extract,
-                lambda: jnp.zeros((PH8, 256), jnp.int32),
+            cp_out = pltpu.make_async_copy(
+                pbuf,
+                out_hbm.at[pl.ds(g * (G // 8) * PH8, (G // 8) * PH8), :],
+                sem_out,
             )
-            octet = v if slot == 0 else octet + v
-            if slot == 7:
-                q = i // 8
-                pbuf[q * PH8 : (q + 1) * PH8, :] = octet
+            cp_out.start()
+            cp_out.wait()
 
-        cp_out = pltpu.make_async_copy(
-            pbuf, out_hbm.at[pl.ds(g * (G // 8) * PH8, (G // 8) * PH8), :],
-            sem_out,
-        )
-        cp_out.start()
-        cp_out.wait()
+        # whole-block skip: grid steps past the survivor count do no
+        # extraction arithmetic and no output DMA (their out rows are
+        # stale garbage the tail masks off via its own cnt bound)
+        jax.lax.cond(g * G < cnt, block_body, lambda: None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -175,13 +175,6 @@ class FusedEngine:
         consts = (R_c, [c for (_t, _h, _w, c) in cols_c])
         n_front = self.n_front
         n_stages = len(packed.stages)
-        tail_n = max(
-            32,
-            min(
-                self.tail_n,
-                1 << int(np.ceil(np.log2(max(out_h * out_w, 2)))),
-            ),
-        )
 
         is_haar = self.is_haar
         # survivors only ever sit on ystep grid rows — the per-row sorts
@@ -211,6 +204,18 @@ class FusedEngine:
         else:
             n_dense = n_front
         self.n_dense = n_dense
+        # every per-window tail cost (nonzero gather, patchify layout
+        # traffic, limb matmuls) scales with the STATIC capacity — after
+        # the ≥250-tree static front, survivors are a few % of positions,
+        # so the deep-cutover capacity is halved (overflow still falls
+        # back to the adaptive engine)
+        cap = self.tail_n
+        if use_static_front:
+            cap = min(cap, 1 << 16)
+        tail_n = max(
+            32,
+            min(cap, 1 << int(np.ceil(np.log2(max(out_h * out_w, 2))))),
+        )
         nonzero_tail = nonzero_det = tail_fn = sparse_det = None
         if n_dense < n_stages:
             nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
