@@ -238,15 +238,46 @@ class FusedEngine:
         if use_static_front:
             from cascadeclassifier_tpu.detect.pallas_front import (
                 front_pad_geometry,
+                make_plane_front_fn,
                 make_static_front_fn,
+                plane_pad_geometry,
             )
 
             fp_hp, fp_wp, fp_hh, fp_hw = front_pad_geometry(
                 plan.canvas_h, plan.canvas_w, packed.win_w, packed.win_h,
                 self.TILE_H, self.TILE_W,
             )
-            pad_min = (fp_hp + fp_hh, fp_wp + fp_hw)
+            # ystep-2 levels sit at the TOP of the canvas (factor grows
+            # down the stack; ystep drops to 1 once factor >= 2): their
+            # grid anchors all land on even (row, col) (pyramid.py aligns
+            # block_top), so the parity-plane kernel evaluates just the
+            # (even, even) anchor plane over rows [0, split_r) — 4x fewer
+            # positions. The remaining ystep-1 levels keep the
+            # full-density kernel over rows [row_lo, fp_hp).
+            step1 = np.nonzero(plan.ystep == 1)[0]
+            split_r = (
+                int(plan.block_top[step1[0]]) if len(step1) else out_h
+            )
+            has_plane = split_r > 0
+            has_band = len(step1) > 0
+            row_lo = (split_r // self.TILE_H) * self.TILE_H
+            if has_plane:
+                pg_h2, pg_w2, pg_hh2, pg_hw2 = plane_pad_geometry(
+                    split_r, out_w, packed.win_w, packed.win_h,
+                    self.TILE_H, self.TILE_W,
+                )
+                # the padded canvas must cover the band kernel's tiles,
+                # the patchify DMAs, AND an even shape whose parity
+                # planes span the plane kernel's tiles + halos
+                pad_min = (
+                    max(fp_hp + fp_hh, 2 * (pg_h2 + pg_hh2) + 2),
+                    max(fp_wp + fp_hw, 2 * (pg_w2 + pg_hw2) + 2),
+                )
+                pad_min = (-(-pad_min[0] // 2) * 2, -(-pad_min[1] // 2) * 2)
+            else:
+                pad_min = (fp_hp + fp_hh, fp_wp + fp_hw)
         else:
+            has_plane = has_band = False
             pad_min = (0, 0)
 
         def stage_pass(sum2d, inv_nf, si):
@@ -281,9 +312,17 @@ class FusedEngine:
             # costs ~33 ms; fused with the integral build it is ~free). All
             # downstream consumers slice fixed offsets, so padding is
             # transparent.
-            return (
-                pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min),
-                sq2d,
+            return pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min), sq2d
+
+        def plane_split(sp):
+            # the four parity planes planes[a, b] = sp[a::2, b::2] feed
+            # the plane front kernel's static corner reads. A SEPARATE
+            # program: fused into the canvas build it trips the remote
+            # XLA compile stall (same pathology as the canvas+gate
+            # fusion, engine.py head comment).
+            hp_, wp_ = sp.shape
+            return sp.reshape(hp_ // 2, 2, wp_ // 2, 2).transpose(
+                1, 3, 0, 2
             )
 
         def prep(sum2d, sq2d, tab):
@@ -313,17 +352,41 @@ class FusedEngine:
             visited = parity_visited(m0, grid, ordinal)
             alive = gate & grid & passed0 & visited
             if use_static_front:
-                # the static front consumes tile-grid-padded masks; the
+                # split survivors between the parity-plane region
+                # (ystep-2 rows, subsampled to the even-even anchor
+                # plane — lossless: every step-2 grid anchor is even)
+                # and the full-density bottom band (ystep-1 rows); the
                 # pads fuse into this program (~free)
-                inv_f = jnp.ones((fp_hp, fp_wp), jnp.float32)
-                inv_f = inv_f.at[:out_h, :out_w].set(inv_nf)
-                alive_f = (
-                    jnp.zeros((fp_hp, fp_wp), jnp.int8)
-                    .at[:out_h, :out_w]
-                    .set(alive.astype(jnp.int8))
-                )
-                return inv_nf, inv_f, alive_f
-            return inv_nf, inv_nf, alive
+                step2r = tab["row_step2"][:out_h, None]
+                a_p = inv_p = a_b = inv_b = None
+                if has_plane:
+                    a2 = (alive & step2r).astype(jnp.int8)
+                    sub = a2[0 : 2 * pg_h2 : 2, 0 : 2 * pg_w2 : 2]
+                    isub = inv_nf[0 : 2 * pg_h2 : 2, 0 : 2 * pg_w2 : 2]
+                    rh, rw = sub.shape
+                    a_p = (
+                        jnp.zeros((pg_h2, pg_w2), jnp.int8)
+                        .at[:rh, :rw].set(sub)
+                    )
+                    inv_p = (
+                        jnp.ones((pg_h2, pg_w2), jnp.float32)
+                        .at[:rh, :rw].set(isub)
+                    )
+                if has_band:
+                    a1 = alive & (~step2r) if has_plane else alive
+                    hb = fp_hp - row_lo
+                    a_b = (
+                        jnp.zeros((hb, fp_wp), jnp.int8)
+                        .at[: out_h - row_lo, :out_w]
+                        .set(a1[row_lo:].astype(jnp.int8))
+                    )
+                    inv_b = (
+                        jnp.ones((hb, fp_wp), jnp.float32)
+                        .at[: out_h - row_lo, :out_w]
+                        .set(inv_nf[row_lo:])
+                    )
+                return inv_nf, (a_p, inv_p, a_b, inv_b)
+            return inv_nf, (inv_nf, alive)
 
         # dense front chunks of ≤ FRONT_CHUNK / STATIC_CHUNK trees
         chunk_cap = self.STATIC_CHUNK if use_static_front else self.FRONT_CHUNK
@@ -339,20 +402,45 @@ class FusedEngine:
             chunks.append(cur)
 
         def make_front(stage_ids):
-            def front(sum2d, inv_nf, alive):
+            def front(sum2d, planes, state):
+                inv_front, alive = state
                 for si in stage_ids:
-                    alive = alive & stage_pass(sum2d, inv_nf, si)
+                    alive = alive & stage_pass(sum2d, inv_front, si)
                     alive = jax.lax.optimization_barrier(alive)
-                return alive
+                return inv_front, alive
 
             return front
 
-        def compact_collect(sum2d, inv_nf, alive):
+        def compact_collect(sum2d, inv_nf, state):
             """Survivor extraction, re-compacting MXU tail, collection."""
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
             if use_static_front:
-                alive = alive[:out_h, :out_w] != 0
+                # stitch the plane-layout and band survivor masks back
+                # into the full (out_h, out_w) grid
+                a_p, _, a_b, _ = state
+                alive = jnp.zeros((out_h, out_w), bool)
+                if has_plane:
+                    # interleave the plane mask back onto even (r, c):
+                    # stack+reshape (lowers to concat, no strided
+                    # scatter — XLA scatters are slow to compile/run at
+                    # this size)
+                    z = jnp.zeros_like(a_p)
+                    up = jnp.stack([a_p, z], 2).reshape(pg_h2, 2 * pg_w2)
+                    zz = jnp.zeros_like(up)
+                    up = jnp.stack([up, zz], 1).reshape(
+                        2 * pg_h2, 2 * pg_w2
+                    )
+                    rows = min(2 * pg_h2, out_h)
+                    cols = min(2 * pg_w2, out_w)
+                    alive = alive.at[:rows, :cols].set(
+                        up[:rows, :cols] != 0
+                    )
+                if has_band:
+                    bm = a_b[: out_h - row_lo, :out_w] != 0
+                    alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
+            else:
+                _, alive = state
             if sparse_det is not None:
                 # the static kernels already ran EVERY stage — survivors
                 # ARE the raw detections; extract them sparsely
@@ -394,19 +482,39 @@ class FusedEngine:
             return fidx, fcnt, cnt, oflow
 
         if use_static_front:
-            fronts = [
-                make_static_front_fn(
-                    packed.stages, ids, packed.win_w, packed.win_h,
-                    plan.canvas_h, plan.canvas_w,
-                    self.TILE_H, self.TILE_W,
-                    interpret=self.interpret,
-                )[0]
-                for ids in chunks
-            ]
+
+            def make_static_chunk(ids):
+                plane_fn = band_fn = None
+                if has_plane:
+                    plane_fn = make_plane_front_fn(
+                        packed.stages, ids, packed.win_w, packed.win_h,
+                        split_r, out_w, self.TILE_H, self.TILE_W,
+                        interpret=self.interpret,
+                    )[0]
+                if has_band:
+                    band_fn = make_static_front_fn(
+                        packed.stages, ids, packed.win_w, packed.win_h,
+                        plan.canvas_h, plan.canvas_w,
+                        self.TILE_H, self.TILE_W,
+                        interpret=self.interpret, row_lo=row_lo,
+                    )[0]
+
+                def front(sum2d, planes, state):
+                    a_p, inv_p, a_b, inv_b = state
+                    if plane_fn is not None:
+                        a_p = plane_fn(planes, inv_p, a_p)
+                    if band_fn is not None:
+                        a_b = band_fn(sum2d, inv_b, a_b)
+                    return a_p, inv_p, a_b, inv_b
+
+                return jax.jit(front)
+
+            fronts = [make_static_chunk(ids) for ids in chunks]
         else:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
         return (
-            (jax.jit(canvas), jax.jit(prep)),
+            (jax.jit(canvas), jax.jit(prep),
+             jax.jit(plane_split) if has_plane else None),
             fronts,
             jax.jit(compact_collect),
             consts,
@@ -417,12 +525,15 @@ class FusedEngine:
     def detect_async(self, plan, tab, img, max_det: int):
         """Submit one frame (a few chained async dispatches, no syncs);
         returns device arrays (fidx, fcnt, tail_cnt, overflow)."""
-        (canvas, prep), fronts, tail, (R, Cs) = self.program(plan, max_det)
+        (canvas, prep, psplit), fronts, tail, (R, Cs) = self.program(
+            plan, max_det
+        )
         sum2d, sq2d = canvas(jnp.asarray(img), tab, R, Cs)
-        inv_nf, inv_front, alive = prep(sum2d, sq2d, tab)
+        planes = psplit(sum2d) if psplit is not None else None
+        inv_nf, state = prep(sum2d, sq2d, tab)
         for f in fronts:
-            alive = f(sum2d, inv_front, alive)
-        return tail(sum2d, inv_nf, alive)
+            state = f(sum2d, planes, state)
+        return tail(sum2d, inv_nf, state)
 
     def finish(self, out, max_det: int):
         """(fidx, fcnt, tail_cnt, overflow) device tuple → flat window

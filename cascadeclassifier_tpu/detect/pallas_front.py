@@ -56,32 +56,140 @@ def front_pad_geometry(canvas_h, canvas_w, win_w, win_h,
     return hp, wp, halo_h, halo_w
 
 
-def make_static_front_fn(
+def plane_pad_geometry(split_r, out_w, win_w, win_h, tile_h, tile_w):
+    """Padded plane-mask geometry for the parity-plane front kernel.
+
+    split_r: first canvas row past the step-2 levels (plane anchors are
+    the even (r, c) with r < split_r). Returns (hp2, wp2, halo_h2,
+    halo_w2): plane masks are (hp2, wp2); each of the four canvas parity
+    planes must be at least (hp2 + halo_h2, wp2 + halo_w2)."""
+    rows2 = (split_r + 1) // 2
+    cols2 = (out_w + 1) // 2
+    hp2 = -(-rows2 // tile_h) * tile_h
+    wp2 = -(-cols2 // tile_w) * tile_w
+    halo_h2 = -(-(win_h // 2 + 1) // 8) * 8
+    halo_w2 = -(-(win_w // 2 + 1) // 128) * 128
+    return hp2, wp2, halo_h2, halo_w2
+
+
+def make_plane_front_fn(
     stages,
     stage_ids,
     win_w: int,
     win_h: int,
-    canvas_h: int,
-    canvas_w: int,
-    tile_h: int = 256,
+    split_r: int,
+    out_w: int,
+    tile_h: int = 32,
     tile_w: int = 512,
     interpret: bool = False,
 ):
-    """Build fn(sum_pad, inv_pad, alive_pad) → alive' for untilted stump
-    Haar stages.
+    """Parity-plane variant of make_static_front_fn for the ystep-2
+    levels: grid anchors of those levels sit at EVEN canvas (row, col)
+    (pyramid.py aligns block_top), so the kernel evaluates only the
+    (even, even) anchor plane — 4x fewer positions than the dense
+    canvas at identical per-position arithmetic.
 
-    sum_pad  : (≥hp+halo_h, ≥wp+halo_w) int32 padded integral canvas
-    inv_pad  : (hp, wp) float32 1/normfactor
-    alive_pad: (hp, wp) int8/bool survivor mask
-    returns  : (hp, wp) int8 mask — alive ∧ all chunk stages passed."""
-    hp, wp, halo_h, halo_w = front_pad_geometry(
-        canvas_h, canvas_w, win_w, win_h, tile_h, tile_w
+    The canvas is pre-split into its four parity planes
+    planes[a, b] = canvas[a::2, b::2]; a rect corner at static offset
+    (dy, dx) from an even anchor reads plane (dy & 1, dx & 1) at static
+    offset (dy >> 1, dx >> 1) — still a static VMEM slice.
+
+    fn(planes, inv_p, alive_p) → alive_p' with planes (2, 2, H2, W2)
+    int32, masks (hp2, wp2) in anchor-plane layout (anchor (2i, 2j) at
+    [i, j])."""
+    hp2, wp2, halo_h2, halo_w2 = plane_pad_geometry(
+        split_r, out_w, win_w, win_h, tile_h, tile_w
     )
-    grid = (hp // tile_h, wp // tile_w)
+    grid = (hp2 // tile_h, wp2 // tile_w)
     th, tw = tile_h, tile_w
-    W = tw + halo_w
+    W = tw + halo_w2
 
-    # freeze chunk parameters as plain Python (traced into the kernel)
+    frozen = _freeze_chunk(stages, stage_ids)
+
+    def kernel(planes_hbm, inv_ref, alive_ref, out_ref,
+               tiles, acc, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        alive_in = alive_ref[:].astype(jnp.int32)
+
+        def dead():
+            out_ref[:] = jnp.zeros((th, tw), jnp.int8)
+
+        def live():
+            cps = []
+            for a in range(2):
+                for b in range(2):
+                    cp = pltpu.make_async_copy(
+                        planes_hbm.at[
+                            a, b,
+                            pl.ds(i * th, th + halo_h2),
+                            pl.ds(j * tw, W),
+                        ],
+                        tiles.at[2 * a + b],
+                        sem.at[2 * a + b],
+                    )
+                    cp.start()
+                    cps.append(cp)
+            for cp in cps:
+                cp.wait()
+            inv = inv_ref[:]
+
+            def rect_sum(x, y, w, h):
+                a1, i1 = y & 1, y >> 1
+                a2, i2 = (y + h) & 1, (y + h) >> 1
+                b1, j1 = x & 1, x >> 1
+                b2, j2 = (x + w) & 1, (x + w) >> 1
+                t1 = tiles[2 * a1 + b1]
+                t2 = tiles[2 * a2 + b1]
+                if b1 == b2:
+                    d = t1[i1 : i1 + th, :] - t2[i2 : i2 + th, :]
+                    return d[:, j1 : j1 + tw] - d[:, j2 : j2 + tw]
+                t3 = tiles[2 * a1 + b2]
+                t4 = tiles[2 * a2 + b2]
+                dl = (
+                    t1[i1 : i1 + th, j1 : j1 + tw]
+                    - t2[i2 : i2 + th, j1 : j1 + tw]
+                )
+                dr = (
+                    t3[i1 : i1 + th, j2 : j2 + tw]
+                    - t4[i2 : i2 + th, j2 : j2 + tw]
+                )
+                return dl - dr
+
+            out_ref[:] = _run_stages(
+                frozen, alive_in, inv, rect_sum, acc, th, tw
+            ).astype(jnp.int8)
+
+        jax.lax.cond(jnp.max(alive_in) > 0, live, dead)
+
+    blk = lambda: pl.BlockSpec(  # noqa: E731
+        (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk(), blk()],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((hp2, wp2), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((4, th + halo_h2, W), jnp.int32),
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def run(planes, inv_p, alive_p):
+        return call(planes, inv_p, alive_p.astype(jnp.int8))
+
+    return jax.jit(run), (hp2, wp2, halo_h2, halo_w2)
+
+
+def _freeze_chunk(stages, stage_ids):
+    """Chunk parameters as plain Python (traced into the kernels)."""
     frozen = []
     for si in stage_ids:
         st = stages[si]
@@ -100,6 +208,80 @@ def make_static_front_fn(
                  np.float32(st.left_leaf[t]), np.float32(st.right_leaf[t]))
             )
         frozen.append((trees, np.float32(st.threshold)))
+    return frozen
+
+
+def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
+    """Shared chunk body: evaluate the frozen stages over one tile."""
+
+    def stage_pass(alive_any, trees, sthr):
+        # accumulate through the VMEM scratch ref; evaluate trees in
+        # small cond-guarded groups. The cond regions are hard
+        # scheduling barriers: without them Mosaic hoists ~one live
+        # tile-sized temp per tree across the whole stage and blows
+        # the 16MB scoped-VMEM budget on large stages.
+        acc[:] = jnp.zeros((th, tw), jnp.float32)
+        G = 8
+        for g0 in range(0, len(trees), G):
+            group = trees[g0 : g0 + G]
+
+            def group_body(group=group):
+                s = acc[:]
+                for (rects, thr, ll, rr) in group:
+                    raw = None
+                    for (x, y, w, h, wt) in rects:
+                        term = (
+                            rect_sum(x, y, w, h).astype(jnp.float32) * wt
+                        )
+                        raw = term if raw is None else raw + term
+                    val = raw * inv
+                    s = s + jnp.where(val < thr, ll, rr)
+                acc[:] = s
+
+            jax.lax.cond(alive_any, group_body, lambda: None)
+        return (acc[:] >= sthr).astype(jnp.int32)
+
+    a = alive_in
+    for (trees, sthr) in frozen:
+        alive_any = jnp.max(a) > 0
+        a = a * stage_pass(alive_any, trees, sthr)
+    return a
+
+
+def make_static_front_fn(
+    stages,
+    stage_ids,
+    win_w: int,
+    win_h: int,
+    canvas_h: int,
+    canvas_w: int,
+    tile_h: int = 256,
+    tile_w: int = 512,
+    interpret: bool = False,
+    row_lo: int = 0,
+):
+    """Build fn(sum_pad, inv_pad, alive_pad) → alive' for untilted stump
+    Haar stages.
+
+    sum_pad  : (≥hp+halo_h, ≥wp+halo_w) int32 padded integral canvas
+    inv_pad  : (hp - row_lo, wp) float32 1/normfactor
+    alive_pad: (hp - row_lo, wp) int8/bool survivor mask
+    returns  : (hp - row_lo, wp) int8 mask — alive ∧ chunk stages passed.
+
+    row_lo (a multiple of tile_h): the kernel's grid covers only canvas
+    rows [row_lo, hp) — used to restrict the full-density kernel to the
+    ystep-1 levels at the bottom of the canvas while the parity-plane
+    kernel handles the (4x larger) ystep-2 region above."""
+    hp, wp, halo_h, halo_w = front_pad_geometry(
+        canvas_h, canvas_w, win_w, win_h, tile_h, tile_w
+    )
+    assert row_lo % tile_h == 0 and row_lo < hp
+    r0 = row_lo // tile_h
+    grid = ((hp - row_lo) // tile_h, wp // tile_w)
+    th, tw = tile_h, tile_w
+    W = tw + halo_w
+
+    frozen = _freeze_chunk(stages, stage_ids)
 
     def kernel(sum_hbm, inv_ref, alive_ref, out_ref, tile, acc, sem):
         i = pl.program_id(0)
@@ -114,7 +296,7 @@ def make_static_front_fn(
         def live():
             cp = pltpu.make_async_copy(
                 sum_hbm.at[
-                    pl.ds(i * th, th + halo_h), pl.ds(j * tw, W)
+                    pl.ds((r0 + i) * th, th + halo_h), pl.ds(j * tw, W)
                 ],
                 tile,
                 sem,
@@ -127,39 +309,9 @@ def make_static_front_fn(
                 d = tile[y : y + th, :] - tile[y + h : y + h + th, :]
                 return d[:, x : x + tw] - d[:, x + w : x + w + tw]
 
-            def stage_pass(alive_any, trees, sthr):
-                # accumulate through the VMEM scratch ref; evaluate trees
-                # in small cond-guarded groups. The cond regions are hard
-                # scheduling barriers: without them Mosaic hoists ~one
-                # live tile-sized temp per tree across the whole stage and
-                # blows the 16MB scoped-VMEM budget on large stages.
-                acc[:] = jnp.zeros((th, tw), jnp.float32)
-                G = 8
-                for g0 in range(0, len(trees), G):
-                    group = trees[g0 : g0 + G]
-
-                    def group_body(group=group):
-                        s = acc[:]
-                        for (rects, thr, ll, rr) in group:
-                            raw = None
-                            for (x, y, w, h, wt) in rects:
-                                term = (
-                                    rect_sum(x, y, w, h).astype(jnp.float32)
-                                    * wt
-                                )
-                                raw = term if raw is None else raw + term
-                            val = raw * inv
-                            s = s + jnp.where(val < thr, ll, rr)
-                        acc[:] = s
-
-                    jax.lax.cond(alive_any, group_body, lambda: None)
-                return (acc[:] >= sthr).astype(jnp.int32)
-
-            a = alive_in
-            for (trees, sthr) in frozen:
-                alive_any = jnp.max(a) > 0
-                a = a * stage_pass(alive_any, trees, sthr)
-            out_ref[:] = a.astype(jnp.int8)
+            out_ref[:] = _run_stages(
+                frozen, alive_in, inv, rect_sum, acc, th, tw
+            ).astype(jnp.int8)
 
         jax.lax.cond(jnp.max(alive_in) > 0, live, dead)
 
@@ -171,7 +323,7 @@ def make_static_front_fn(
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk(), blk()],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((hp - row_lo, wp), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((th + halo_h, W), jnp.int32),
             pltpu.VMEM((th, tw), jnp.float32),

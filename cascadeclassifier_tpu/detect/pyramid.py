@@ -127,8 +127,19 @@ def build_plan(
 
     canvas_w = int(scaled_w.max()) + 1
     block_rows = scaled_h + 1
-    block_top = np.concatenate([[0], np.cumsum(block_rows)[:-1]]).astype(np.int32)
-    canvas_h = int(block_rows.sum())
+    # EVEN block_top for ystep-2 levels: their grid anchors sit at
+    # block_top + 2k, so an even origin puts every step-2 anchor on an
+    # even canvas row — the parity-plane dense front (pallas_front.py)
+    # then evaluates only the (even, even) anchor plane, 4x fewer
+    # positions. Costs at most one garbage pad row per level.
+    block_top = np.zeros(S, np.int32)
+    top = 0
+    for s in range(S):
+        if ystep[s] == 2 and (top & 1):
+            top += 1
+        block_top[s] = top
+        top += int(block_rows[s])
+    canvas_h = top
 
     sy0 = np.zeros(canvas_h, np.int32)
     cy = np.zeros(canvas_h, np.int32)
