@@ -99,16 +99,11 @@ class NegReader:
         self.img = resize_linear_exact_np(src, sz_w, sz_h)
         return True
 
-    def get(self):
-        """Next window, or None when no usable background exists."""
-        if self.img is None:
-            if not self._next_img():
-                return None
+    def _advance(self) -> bool:
+        """Move ``point`` past the current window (imagestorage.cpp:105-124),
+        crossing level / image boundaries. False when backgrounds run out."""
         ww, wh = self.win_w, self.win_h
         px, py = self.point
-        win = self.img[py : py + wh, px : px + ww].copy()
-
-        # advance (imagestorage.cpp:105-124)
         if int(px + (1.0 + STEP_FACTOR) * ww) < self.img.shape[1]:
             self.point = (px + int(STEP_FACTOR * ww), py)
         else:
@@ -125,8 +120,68 @@ class NegReader:
                     )
                 else:
                     if not self._next_img():
-                        return None
+                        return False
+        return True
+
+    def get(self):
+        """Next window, or None when no usable background exists."""
+        if self.img is None:
+            if not self._next_img():
+                return None
+        ww, wh = self.win_w, self.win_h
+        px, py = self.point
+        win = self.img[py : py + wh, px : px + ww].copy()
+        if not self._advance():
+            return None
         return win
+
+    # -- level-granular access for device-side dense mining -----------------
+
+    def state(self):
+        """Snapshot of the schedule state (images by reference)."""
+        return (self.src, self.img, self.point, self.offset, self.scale,
+                self.last, self.round)
+
+    def set_state(self, st):
+        (self.src, self.img, self.point, self.offset, self.scale,
+         self.last, self.round) = st
+
+    def level_positions(self):
+        """The remaining windows of the current (image, scale) level:
+        ``(img, positions)`` with positions (m, 2) int32 ``(px, py)`` in
+        schedule order starting at the current point. Does NOT advance
+        state — pair with ``skip(k)``. None when backgrounds run out.
+
+        With these two plus ``state``/``set_state``, hard-negative mining
+        evaluates whole levels on-device (one small image upload instead
+        of per-window crops) while preserving the reference's exact
+        window schedule (imagestorage.cpp:90-126)."""
+        if self.img is None and not self._next_img():
+            return None
+        ww, wh = self.win_w, self.win_h
+        H, W = self.img.shape
+        sx, sy = int(STEP_FACTOR * ww), int(STEP_FACTOR * wh)
+        px0 = self.offset[0]
+        xs = [px0]
+        while int(xs[-1] + (1.0 + STEP_FACTOR) * ww) < W:
+            xs.append(xs[-1] + sx)
+        ys = [self.point[1]]
+        while int(ys[-1] + (1.0 + STEP_FACTOR) * wh) < H:
+            ys.append(ys[-1] + sy)
+        first = [x for x in xs if x >= self.point[0]]
+        pos = [(x, ys[0]) for x in first]
+        for y in ys[1:]:
+            pos += [(x, y) for x in xs]
+        return self.img, np.asarray(pos, np.int32).reshape(-1, 2)
+
+    def skip(self, k: int) -> bool:
+        """Advance the schedule by k windows (no cropping)."""
+        if self.img is None and not self._next_img():
+            return False
+        for _ in range(k):
+            if not self._advance():
+                return False
+        return True
 
     def take_batch(self, n: int) -> np.ndarray:
         """Next n schedule windows as (m, win_h, win_w) uint8, m ≤ n."""

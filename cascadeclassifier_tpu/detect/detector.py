@@ -274,11 +274,7 @@ class TPUDetector:
         can_stump_haar = (
             self.packed.feature_type == FEATURE_HAAR and all_stumps
         )
-        can_fused = (
-            all_stumps
-            and self.packed.feature_type in (FEATURE_HAAR, FEATURE_LBP)
-            and not self.packed.has_tilted
-        )
+        can_fused = self.packed.feature_type in (FEATURE_HAAR, FEATURE_LBP)
         if engine == "auto":
             # the fused engine's fixed-capacity MXU tail assumes matmuls
             # are ~free (TPU); on CPU backends the host-adaptive compact
@@ -294,7 +290,7 @@ class TPUDetector:
                 )
             if engine == "fused" and not can_fused:
                 raise ValueError(
-                    "fused engine supports untilted stump Haar/LBP cascades"
+                    "fused engine supports Haar/LBP cascades"
                 )
             self.engine = engine
         self._fused = None

@@ -47,6 +47,7 @@ from cascadeclassifier_tpu.detect.compact import (
     pad_canvas_for_patchify,
 )
 from cascadeclassifier_tpu.detect.dense import (
+    dense_stage_deep,
     dense_stage_haar,
     dense_stage_lbp,
     dense_variance_gate,
@@ -113,13 +114,8 @@ class FusedEngine:
             FEATURE_LBP,
         )
 
-        if (
-            packed.feature_type not in (FEATURE_HAAR, FEATURE_LBP)
-            or packed.has_tilted
-            or any(st.deep_trees is not None for st in packed.stages)
-        ):
-            raise ValueError("fused engine supports stump Haar/LBP "
-                             "cascades without tilted features")
+        if packed.feature_type not in (FEATURE_HAAR, FEATURE_LBP):
+            raise ValueError("fused engine supports Haar/LBP cascades")
         self.is_haar = packed.feature_type == FEATURE_HAAR
         self.packed = packed
         self.exact = exact
@@ -177,6 +173,8 @@ class FusedEngine:
         n_stages = len(packed.stages)
 
         is_haar = self.is_haar
+        tilted = is_haar and packed.has_tilted
+        deep_any = any(st.deep_trees is not None for st in packed.stages)
         # survivors only ever sit on ystep grid rows — the per-row sorts
         # inside nonzero run on the compressed row set (~half the canvas)
         grid_rows = np.nonzero(plan.row_is_grid[:out_h])[0].astype(np.int32)
@@ -185,10 +183,12 @@ class FusedEngine:
         # geometry is baked into the kernels and the WHOLE cascade runs
         # densely in fine-tiled VPU kernels whose per-tile dead-skip
         # tracks survivor clustering — no patchify / MXU tail / static
-        # tail capacity at all. f32 stump-Haar only (bit-identical to the
-        # XLA front); exact-f64 mode and LBP keep the XLA front + tail.
+        # tail capacity at all. f32 untilted stump-Haar only (bit-identical
+        # to the XLA front); exact-f64, LBP, tilted and deep-tree cascades
+        # keep the XLA front (+ MXU tail where the tail can pack them).
         use_static_front = (
             (use_pallas or self.interpret) and is_haar and not exact
+            and not tilted and not deep_any
         )
         if use_static_front:
             # dense static-Pallas stages until ~STATIC_FRONT_TREES trees
@@ -201,6 +201,13 @@ class FusedEngine:
                 if budget >= self.STATIC_FRONT_TREES:
                     n_dense = si + 1
                     break
+        elif deep_any:
+            # the MXU tail packs stumps only — deep-tree cascades (e.g.
+            # -maxDepth 2 trainer output, eye_tree_eyeglasses) run EVERY
+            # stage in the dense front: still one chained-async dispatch
+            # pipeline with zero host syncs, unlike the per-stage-synced
+            # compact engine fallback they previously hit
+            n_dense = n_stages
         else:
             n_dense = n_front
         self.n_dense = n_dense
@@ -227,7 +234,7 @@ class FusedEngine:
                     plan.canvas_h, plan.canvas_w, tail_n,
                 )
             else:
-                xpatch = make_patchify_fn(packed.win_w, packed.win_h, False)
+                xpatch = make_patchify_fn(packed.win_w, packed.win_h, tilted)
         elif use_static_front:
             sparse_det = make_sparse_nonzero_fn(
                 out_h, out_w, max_det,
@@ -280,11 +287,16 @@ class FusedEngine:
             has_plane = has_band = False
             pad_min = (0, 0)
 
-        def stage_pass(sum2d, inv_nf, si):
+        def stage_pass(sum2d, tilt2d, inv_nf, si):
             st = packed.stages[si]
-            if is_haar:
+            if st.deep_trees is not None:
+                ssum = dense_stage_deep(
+                    sum2d, tilt2d, st, out_h, out_w, inv_nf, is_haar,
+                    exact=exact,
+                )
+            elif is_haar:
                 ssum = dense_stage_haar(
-                    sum2d, sum2d, st, out_h, out_w, inv_nf, exact=exact
+                    sum2d, tilt2d, st, out_h, out_w, inv_nf, exact=exact
                 )
             else:
                 ssum = dense_stage_lbp(sum2d, st, out_h, out_w, exact=exact)
@@ -301,18 +313,25 @@ class FusedEngine:
             resize_mats = (
                 R, [(t, h, w, c) for (t, h, w), c in zip(col_meta, Cs)]
             )
-            sum2d, sq2d, _ = _build_canvas(
+            sum2d, sq2d, tilt2d = _build_canvas(
                 img, tab, img_w, img_h, need_sq=is_haar,
-                resize_mats=resize_mats,
+                need_tilted=tilted, resize_mats=resize_mats,
             )
             if sq2d is None:
                 sq2d = sum2d
-            # emit the sum canvas pre-padded for the patch extractor's and
+            # emit the canvases pre-padded for the patch extractor's and
             # static front's aligned DMAs (a separate 88 MB jnp.pad program
             # costs ~33 ms; fused with the integral build it is ~free). All
             # downstream consumers slice fixed offsets, so padding is
             # transparent.
-            return pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min), sq2d
+            sum_pad = pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min)
+            if tilt2d is None:
+                # placeholder so the chained-program signatures stay
+                # uniform; no stage reads it in untilted cascades
+                return sum_pad, sq2d, sum_pad
+            return sum_pad, sq2d, pad_canvas_for_patchify(
+                tilt2d, packed.win_h, *pad_min
+            )
 
         def plane_split(sp):
             # the four parity planes planes[a, b] = sp[a::2, b::2] feed
@@ -325,7 +344,7 @@ class FusedEngine:
                 1, 3, 0, 2
             )
 
-        def prep(sum2d, sq2d, tab):
+        def prep(sum2d, sq2d, tilt2d, tab):
             """Gate + stage 0 + the serial-walk visited mask."""
             if is_haar:
                 gate, inv_nf = dense_variance_gate(
@@ -347,46 +366,50 @@ class FusedEngine:
                 )
             )
             ordinal = jnp.cumsum(grid.astype(jnp.int32), axis=1)
-            passed0 = stage_pass(sum2d, inv_nf, 0)
+            passed0 = stage_pass(sum2d, tilt2d, inv_nf, 0)
             m0 = gate & (~passed0)
             visited = parity_visited(m0, grid, ordinal)
             alive = gate & grid & passed0 & visited
-            if use_static_front:
-                # split survivors between the parity-plane region
-                # (ystep-2 rows, subsampled to the even-even anchor
-                # plane — lossless: every step-2 grid anchor is even)
-                # and the full-density bottom band (ystep-1 rows); the
-                # pads fuse into this program (~free)
-                step2r = tab["row_step2"][:out_h, None]
-                a_p = inv_p = a_b = inv_b = None
-                if has_plane:
-                    a2 = (alive & step2r).astype(jnp.int8)
-                    sub = a2[0 : 2 * pg_h2 : 2, 0 : 2 * pg_w2 : 2]
-                    isub = inv_nf[0 : 2 * pg_h2 : 2, 0 : 2 * pg_w2 : 2]
-                    rh, rw = sub.shape
-                    a_p = (
-                        jnp.zeros((pg_h2, pg_w2), jnp.int8)
-                        .at[:rh, :rw].set(sub)
-                    )
-                    inv_p = (
-                        jnp.ones((pg_h2, pg_w2), jnp.float32)
-                        .at[:rh, :rw].set(isub)
-                    )
-                if has_band:
-                    a1 = alive & (~step2r) if has_plane else alive
-                    hb = fp_hp - row_lo
-                    a_b = (
-                        jnp.zeros((hb, fp_wp), jnp.int8)
-                        .at[: out_h - row_lo, :out_w]
-                        .set(a1[row_lo:].astype(jnp.int8))
-                    )
-                    inv_b = (
-                        jnp.ones((hb, fp_wp), jnp.float32)
-                        .at[: out_h - row_lo, :out_w]
-                        .set(inv_nf[row_lo:])
-                    )
-                return inv_nf, (a_p, inv_p, a_b, inv_b)
-            return inv_nf, (inv_nf, alive)
+            return inv_nf, alive
+
+        def mask_split(alive, inv_nf, tab):
+            """Split survivors between the parity-plane region (ystep-2
+            rows, subsampled to the even-even anchor plane — lossless:
+            every step-2 grid anchor is even) and the full-density
+            bottom band (ystep-1 rows). A SEPARATE program from prep:
+            the 1080p-scale fused variant stalls the remote XLA compile
+            (same pathology as the canvas+gate fusion, head comment).
+            Subsampling is pad+reshape+contiguous-index — no strided
+            slices, the other known stall trigger at this size."""
+            step2r = tab["row_step2"][:out_h, None]
+            a_p = inv_p = a_b = inv_b = None
+            if has_plane:
+                rows = min(out_h, 2 * pg_h2)
+                cols = min(out_w, 2 * pg_w2)
+                pad = ((0, 2 * pg_h2 - rows), (0, 2 * pg_w2 - cols))
+                a2 = jnp.pad((alive & step2r)[:rows, :cols], pad)
+                a_p = (
+                    a2.reshape(pg_h2, 2, pg_w2, 2)[:, 0, :, 0]
+                    .astype(jnp.int8)
+                )
+                iv2 = jnp.pad(
+                    inv_nf[:rows, :cols], pad, constant_values=1.0
+                )
+                inv_p = iv2.reshape(pg_h2, 2, pg_w2, 2)[:, 0, :, 0]
+            if has_band:
+                a1 = alive & (~step2r) if has_plane else alive
+                hb = fp_hp - row_lo
+                a_b = (
+                    jnp.zeros((hb, fp_wp), jnp.int8)
+                    .at[: out_h - row_lo, :out_w]
+                    .set(a1[row_lo:].astype(jnp.int8))
+                )
+                inv_b = (
+                    jnp.ones((hb, fp_wp), jnp.float32)
+                    .at[: out_h - row_lo, :out_w]
+                    .set(inv_nf[row_lo:])
+                )
+            return a_p, inv_p, a_b, inv_b
 
         # dense front chunks of ≤ FRONT_CHUNK / STATIC_CHUNK trees
         chunk_cap = self.STATIC_CHUNK if use_static_front else self.FRONT_CHUNK
@@ -402,45 +425,44 @@ class FusedEngine:
             chunks.append(cur)
 
         def make_front(stage_ids):
-            def front(sum2d, planes, state):
-                inv_front, alive = state
+            def front(sum2d, tilt2d, inv_nf, alive):
                 for si in stage_ids:
-                    alive = alive & stage_pass(sum2d, inv_front, si)
+                    alive = alive & stage_pass(sum2d, tilt2d, inv_nf, si)
                     alive = jax.lax.optimization_barrier(alive)
-                return inv_front, alive
+                return alive
 
             return front
 
-        def compact_collect(sum2d, inv_nf, state):
+        def stitch(state):
+            """Plane-layout + band survivor masks → full (out_h, out_w)
+            grid. A separate program (see mask_split)."""
+            a_p, _, a_b, _ = state
+            alive = jnp.zeros((out_h, out_w), bool)
+            if has_plane:
+                # interleave the plane mask back onto even (r, c):
+                # stack+reshape (lowers to concat, no strided
+                # scatter — XLA scatters are slow to compile/run at
+                # this size)
+                z = jnp.zeros_like(a_p)
+                up = jnp.stack([a_p, z], 2).reshape(pg_h2, 2 * pg_w2)
+                zz = jnp.zeros_like(up)
+                up = jnp.stack([up, zz], 1).reshape(
+                    2 * pg_h2, 2 * pg_w2
+                )
+                rows = min(2 * pg_h2, out_h)
+                cols = min(2 * pg_w2, out_w)
+                alive = alive.at[:rows, :cols].set(
+                    up[:rows, :cols] != 0
+                )
+            if has_band:
+                bm = a_b[: out_h - row_lo, :out_w] != 0
+                alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
+            return alive
+
+        def compact_collect(sum2d, tilt2d, inv_nf, alive):
             """Survivor extraction, re-compacting MXU tail, collection."""
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
-            if use_static_front:
-                # stitch the plane-layout and band survivor masks back
-                # into the full (out_h, out_w) grid
-                a_p, _, a_b, _ = state
-                alive = jnp.zeros((out_h, out_w), bool)
-                if has_plane:
-                    # interleave the plane mask back onto even (r, c):
-                    # stack+reshape (lowers to concat, no strided
-                    # scatter — XLA scatters are slow to compile/run at
-                    # this size)
-                    z = jnp.zeros_like(a_p)
-                    up = jnp.stack([a_p, z], 2).reshape(pg_h2, 2 * pg_w2)
-                    zz = jnp.zeros_like(up)
-                    up = jnp.stack([up, zz], 1).reshape(
-                        2 * pg_h2, 2 * pg_w2
-                    )
-                    rows = min(2 * pg_h2, out_h)
-                    cols = min(2 * pg_w2, out_w)
-                    alive = alive.at[:rows, :cols].set(
-                        up[:rows, :cols] != 0
-                    )
-                if has_band:
-                    bm = a_b[: out_h - row_lo, :out_w] != 0
-                    alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
-            else:
-                _, alive = state
             if sparse_det is not None:
                 # the static kernels already ran EVERY stage — survivors
                 # ARE the raw detections; extract them sparsely
@@ -455,9 +477,9 @@ class FusedEngine:
                 c = (idx % out_w).astype(jnp.int32)
                 if use_pallas:
                     ps = ppatch(sum2d, r, c, cnt)
-                    pt = ps[:, :1]
+                    pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
                 else:
-                    ps, pt = xpatch(sum2d, sum2d, r, c)
+                    ps, pt = xpatch(sum2d, tilt2d, r, c)
                 widx, t_alive, t_oflow = tail_fn(
                     ps, pt, inv_nf.reshape(-1)[idx], cnt
                 )
@@ -514,7 +536,9 @@ class FusedEngine:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
         return (
             (jax.jit(canvas), jax.jit(prep),
-             jax.jit(plane_split) if has_plane else None),
+             jax.jit(plane_split) if has_plane else None,
+             jax.jit(mask_split) if use_static_front else None,
+             jax.jit(stitch) if use_static_front else None),
             fronts,
             jax.jit(compact_collect),
             consts,
@@ -525,15 +549,21 @@ class FusedEngine:
     def detect_async(self, plan, tab, img, max_det: int):
         """Submit one frame (a few chained async dispatches, no syncs);
         returns device arrays (fidx, fcnt, tail_cnt, overflow)."""
-        (canvas, prep, psplit), fronts, tail, (R, Cs) = self.program(
-            plan, max_det
+        (canvas, prep, psplit, msplit, stitch), fronts, tail, (R, Cs) = (
+            self.program(plan, max_det)
         )
-        sum2d, sq2d = canvas(jnp.asarray(img), tab, R, Cs)
+        sum2d, sq2d, tilt2d = canvas(jnp.asarray(img), tab, R, Cs)
         planes = psplit(sum2d) if psplit is not None else None
-        inv_nf, state = prep(sum2d, sq2d, tab)
-        for f in fronts:
-            state = f(sum2d, planes, state)
-        return tail(sum2d, inv_nf, state)
+        inv_nf, alive = prep(sum2d, sq2d, tilt2d, tab)
+        if msplit is not None:
+            state = msplit(alive, inv_nf, tab)
+            for f in fronts:
+                state = f(sum2d, planes, state)
+            alive = stitch(state)
+        else:
+            for f in fronts:
+                alive = f(sum2d, tilt2d, inv_nf, alive)
+        return tail(sum2d, tilt2d, inv_nf, alive)
 
     def finish(self, out, max_det: int):
         """(fidx, fcnt, tail_cnt, overflow) device tuple → flat window

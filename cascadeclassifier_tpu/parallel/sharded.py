@@ -56,6 +56,26 @@ from cascadeclassifier_tpu.train.boost import (  # noqa: F401
 )
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host (DCN) entry: initialize jax.distributed so that
+    `jax.devices()` spans every host's chips and make_mesh() below builds
+    a global mesh whose collectives ride ICI within a host and DCN
+    across hosts (SURVEY §2.6). Call once per process before any other
+    JAX work — e.g. `traincascade_cli -numDevices -1 --coordinator
+    host0:1234 --numProcesses 4 --processId $SLURM_PROCID`, or rely on
+    auto-detection on Cloud TPU pods (all args None)."""
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "feat") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

@@ -77,10 +77,12 @@ def resolve_mesh(args):
     import jax
 
     if args.distCoordinator is not None:
-        jax.distributed.initialize(
-            coordinator_address=args.distCoordinator,
-            num_processes=args.distNumProcesses,
-            process_id=args.distProcessId,
+        from cascadeclassifier_tpu.parallel.sharded import init_distributed
+
+        init_distributed(
+            args.distCoordinator,
+            args.distNumProcesses,
+            args.distProcessId,
         )
     n = args.numDevices
     if n is None:

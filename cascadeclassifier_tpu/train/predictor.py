@@ -12,11 +12,26 @@ matmul, then the small trees are walked vectorized in numpy.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 CV_THRESHOLD_EPS = 1e-5
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def _extract_windows(img_pad, pxs, pys, wh, ww):
+    """(n_pad,) grid positions → (n_pad, wh, ww) uint8 windows, on device.
+
+    Device-side replacement for NegReader's host crop loop: one small
+    image upload serves a whole (image, scale) mining level. Positions
+    are bucket-padded; the caller tracks true counts."""
+    rows = pys[:, None] + jnp.arange(wh, dtype=jnp.int32)
+    cols = pxs[:, None] + jnp.arange(ww, dtype=jnp.int32)
+    return img_pad[rows[:, :, None], cols[:, None, :]]
 
 
 class CascadePredictor:
@@ -116,6 +131,53 @@ class CascadePredictor:
             jnp.asarray(rrs),
             None if subs is None else jnp.asarray(subs),
         )
+
+    def extract_level(self, img: np.ndarray, positions: np.ndarray,
+                      ww: int, wh: int):
+        """One mining level: upload the scaled background once, gather
+        its (bucket-padded) window grid on device. Async dispatch — no
+        sync; pair with predict_parts."""
+        H, W = img.shape
+        img_pad = img
+        Hp, Wp = -(-H // 128) * 128, -(-W // 128) * 128
+        if (Hp, Wp) != (H, W):
+            img_pad = np.zeros((Hp, Wp), np.uint8)
+            img_pad[:H, :W] = img
+        n = len(positions)
+        # power-of-2 buckets bound the number of compiled gather
+        # programs to ~log2(max level size) per canvas bucket
+        n_pad = max(256, 1 << int(np.ceil(np.log2(max(n, 2)))))
+        pxs = np.zeros(n_pad, np.int32)
+        pys = np.zeros(n_pad, np.int32)
+        pxs[:n] = positions[:, 0]
+        pys[:n] = positions[:, 1]
+        return _extract_windows(
+            jnp.asarray(img_pad), jnp.asarray(pxs), jnp.asarray(pys), wh, ww
+        )
+
+    def predict_parts(self, parts, counts):
+        """parts: device window stacks from extract_level (bucket-padded);
+        counts: their true window counts. One concatenated predict, one
+        fetch; returns per-part (counts[i],) bool arrays."""
+        if not self.stages:
+            return [np.ones(c, bool) for c in counts]
+        # slice each bucket-padded part to its true count before the
+        # concat: tiny levels (a handful of windows padded to 256) would
+        # otherwise inflate the predict batch by an order of magnitude
+        trimmed = [p[:c] for p, c in zip(parts, counts)]
+        x = trimmed[0] if len(trimmed) == 1 else jnp.concatenate(trimmed, 0)
+        m = int(x.shape[0])
+        m_pad = -(-m // 4096) * 4096
+        if m_pad != m:
+            x = jnp.concatenate(
+                [x, jnp.zeros((m_pad - m,) + x.shape[1:], x.dtype)], axis=0
+            )
+        ok = self.predict_batch(x)
+        out, off = [], 0
+        for c in counts:
+            out.append(np.asarray(ok[off : off + c]))
+            off += c
+        return out
 
     def predict_batch(self, samples: np.ndarray) -> np.ndarray:
         """samples: (m, h, w) uint8 → (m,) bool — True when every stage

@@ -132,27 +132,67 @@ class CascadeTrainer:
 
     def _fill_negatives(self, neg: NegReader, count, min_acceptance, consumed_counter):
         """fillPassedSamples for negatives with the per-sample acceptance
-        check (cascadeclassifier.cpp:334-357)."""
+        check (cascadeclassifier.cpp:334-357).
+
+        Dense device mining: whole (image, scale) schedule levels are
+        speculatively enumerated (cheap state snapshots), their window
+        grids extracted and predicted ON DEVICE in ~mining_batch-window
+        superbatches — one small image upload per level and one result
+        fetch per superbatch instead of the reference's per-window crop +
+        predict loop. Selection-equivalent: the window schedule is
+        deterministic (data/negreader.py) and the accept walk below
+        replays the reference's per-window consume/acceptance order,
+        rewinding the reader to the exact stop window."""
         kept = []
         pred = self._predictor()
-        stop = False
-        while len(kept) < count and not stop:
-            batch = neg.take_batch(self.mining_batch)
-            if len(batch) == 0:
-                break
-            ok = pred.predict_batch(batch)
-            for i in range(len(batch)):
-                if (
-                    consumed_counter[0] != 0
-                    and (len(kept) + 1) / consumed_counter[0] <= min_acceptance
-                ):
-                    stop = True
+        stop = exhausted = False
+        ww, wh = self.win_w, self.win_h
+        while len(kept) < count and not stop and not exhausted:
+            snaps, lvls, parts, counts = [], [], [], []
+            total = 0
+            while total < self.mining_batch:
+                snaps.append(neg.state())
+                lvl = neg.level_positions()
+                if lvl is None:
+                    exhausted = True
                     break
-                consumed_counter[0] += 1
-                if ok[i]:
-                    kept.append(batch[i])
-                    if len(kept) >= count:
+                img, pos = lvl
+                lvls.append((img, pos))
+                parts.append(pred.extract_level(img, pos, ww, wh))
+                counts.append(len(pos))
+                total += len(pos)
+                if not neg.skip(len(pos)):
+                    exhausted = True
+                    break
+            if not lvls:
+                break
+            oks = pred.predict_parts(parts, counts)
+            fini = False
+            li_stop = j_stop = 0
+            for li, ((img, pos), ok) in enumerate(zip(lvls, oks)):
+                for i in range(len(pos)):
+                    if (
+                        consumed_counter[0] != 0
+                        and (len(kept) + 1) / consumed_counter[0]
+                        <= min_acceptance
+                    ):
+                        stop, fini = True, True
+                        li_stop, j_stop = li, i
                         break
+                    consumed_counter[0] += 1
+                    if ok[i]:
+                        px, py = int(pos[i, 0]), int(pos[i, 1])
+                        kept.append(img[py : py + wh, px : px + ww].copy())
+                        if len(kept) >= count:
+                            fini = True
+                            li_stop, j_stop = li, i + 1
+                            break
+                if fini:
+                    break
+            if fini:
+                # rewind the reader to the exact window after the stop
+                neg.set_state(snaps[li_stop])
+                neg.skip(j_stop)
         return np.stack(kept) if kept else np.zeros(
             (0, self.win_h, self.win_w), np.uint8
         )
@@ -273,13 +313,13 @@ class CascadeTrainer:
         t_start = time.time()
         os.makedirs(data_dir, exist_ok=True)
         pos = PosReader(vec_path, self.win_w, self.win_h)
-        # prefer the native (C++) miner; byte-identical to the Python one
-        try:
-            from cascadeclassifier_tpu.data.native import NativeNegReader
-
-            neg = NativeNegReader(bg_path, self.win_w, self.win_h)
-        except Exception:
-            neg = NegReader(bg_path, self.win_w, self.win_h)
+        # the Python miner: _fill_negatives mines level-at-a-time on
+        # device through its state/level_positions/skip API, which makes
+        # the native (C++) miner's fast host crop loop moot — the only
+        # remaining host work is one exact resize per (image, scale)
+        # level. NativeNegReader (data/native.py) stays byte-equivalent
+        # for take_batch consumers (tools, tests).
+        neg = NegReader(bg_path, self.win_w, self.win_h)
 
         resumed = self.load(data_dir)
         if resumed and verbose:

@@ -135,3 +135,53 @@ def test_missing_files_error_paths(tmp_path):
         f.write(str(tmp_path / "missing.png") + "\n")
     r = NegReader(bg, 24, 24)
     assert r.take_batch(3).shape[0] == 0
+
+
+def _synth_bg(tmp_path, n=2, hw=((70, 90), (55, 62))):
+    import cv2
+
+    rng = np.random.default_rng(7)
+    names = []
+    for i, (h, w) in enumerate(hw[:n]):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        p = str(tmp_path / f"bg{i}.png")
+        cv2.imwrite(p, img)
+        names.append(p)
+    bg = str(tmp_path / "bg.txt")
+    with open(bg, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return bg
+
+
+def test_negreader_level_walk_matches_get(tmp_path):
+    """level_positions + skip (device-mining API) must replay the exact
+    get() window stream, including mid-level resume and level/image
+    transitions (imagestorage.cpp:90-126)."""
+    bg = _synth_bg(tmp_path)
+    ref = NegReader(bg, 24, 24).take_batch(400)
+
+    r = NegReader(bg, 24, 24)
+    # consume a prefix one-at-a-time so the first level walk starts
+    # mid-level (the resume case the trainer hits after a stop)
+    got = [r.get() for _ in range(7)]
+    while len(got) < len(ref):
+        img, pos = r.level_positions()
+        take = min(len(pos), len(ref) - len(got))
+        for px, py in pos[:take]:
+            got.append(img[py : py + 24, px : px + 24].copy())
+        r.skip(int(take))
+    np.testing.assert_array_equal(np.stack(got)[: len(ref)], ref)
+
+
+def test_negreader_state_snapshot_rewind(tmp_path):
+    """state()/set_state() + skip(k) rewinds the schedule exactly (the
+    trainer's stop-mid-superbatch path)."""
+    bg = _synth_bg(tmp_path)
+    r = NegReader(bg, 24, 24)
+    r.take_batch(30)
+    st = r.state()
+    a = r.take_batch(60)
+    r.set_state(st)
+    r.skip(13)
+    b = r.take_batch(47)
+    np.testing.assert_array_equal(a[13:], b)

@@ -510,3 +510,61 @@ def test_predictor_device_stump_path_matches_host_walk():
     ok_host = pred_host.predict_batch(samples)
     assert ok_dev.sum() > 0 and ok_dev.sum() < len(samples)  # non-vacuous
     np.testing.assert_array_equal(ok_dev, ok_host)
+
+
+def test_fill_negatives_dense_matches_window_loop(tmp_path):
+    """The level-granular device mining in CascadeTrainer._fill_negatives
+    must select the same negatives, consume the same window count, and
+    leave the reader at the same schedule position as the reference's
+    window-at-a-time fillPassedSamples loop (cascadeclassifier.cpp:334)."""
+    import cv2
+
+    from cascadeclassifier_tpu.data.negreader import NegReader
+    from cascadeclassifier_tpu.models.model import Stage, WeakTree
+    from cascadeclassifier_tpu.train.trainer import CascadeTrainer
+
+    rng = np.random.default_rng(3)
+    names = []
+    for i, (h, w) in enumerate(((80, 100), (64, 72))):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        p = str(tmp_path / f"bg{i}.png")
+        cv2.imwrite(p, img)
+        names.append(p)
+    bg = str(tmp_path / "bg.txt")
+    with open(bg, "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    tr = CascadeTrainer(mining_batch=500)
+
+    def stump(var, thr, ll, rr):
+        return WeakTree(
+            left=np.array([0], np.int32), right=np.array([-1], np.int32),
+            feature_idx=np.array([var], np.int32),
+            threshold=np.array([thr], np.float32),
+            leaf_values=np.array([ll, rr], np.float32),
+        )
+
+    # a stage that accepts roughly half of random windows: threshold 0 on
+    # a zero-median Haar feature
+    tr.stages = [Stage(threshold=0.0, trees=[stump(11, 0.0, -1.0, 1.0)])]
+
+    neg = NegReader(bg, 24, 24)
+    cc = [0]
+    kept = tr._fill_negatives(neg, 40, 0.0, cc)
+    after = neg.take_batch(5)  # reader position after the fill
+
+    # reference-loop twin: one window at a time through the same predictor
+    neg2 = NegReader(bg, 24, 24)
+    pred = tr._predictor()
+    kept2, cc2 = [], 0
+    while len(kept2) < 40:
+        w = neg2.get()
+        assert w is not None
+        cc2 += 1
+        if pred.predict_batch(w[None])[0]:
+            kept2.append(w)
+    after2 = neg2.take_batch(5)
+
+    assert cc[0] == cc2
+    np.testing.assert_array_equal(kept, np.stack(kept2))
+    np.testing.assert_array_equal(after, after2)
