@@ -127,7 +127,11 @@ class FusedEngine:
     def program(self, plan, max_det: int):
         key = (plan.canvas_h, plan.canvas_w, max_det)
         if key not in self._programs:
-            self._programs[key] = self._build(plan, max_det)
+            progs, fronts, tail, (R, Cs) = self._build(plan, max_det)
+            # resident on device ONCE — numpy jit arguments would be
+            # re-transferred on every frame (multi-MB over the tunnel)
+            consts = (jnp.asarray(R), [jnp.asarray(c) for c in Cs])
+            self._programs[key] = (progs, fronts, tail, consts)
         return self._programs[key]
 
     # Trees per dense-front program: one mega-program at 1080p makes the

@@ -1,5 +1,6 @@
 """Sharded training step on the virtual 8-device CPU mesh."""
 
+import os
 import numpy as np
 import pytest
 
@@ -212,3 +213,35 @@ def test_cli_sharded_training_identical(tmp_path):
         assert rc == 0
         outs[nd] = (d / "stage0.xml").read_text()
     assert outs[1] == outs[8]
+
+
+def test_multi_device_detection_batch_identical():
+    """Data-parallel detection: frames round-robin across the 8 virtual
+    devices must produce exactly the single-device per-frame results
+    (detector.detect_multi_scale_batch(devices=...))."""
+    import jax
+
+    from cascadeclassifier_tpu.detect.detector import TPUDetector
+    from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+    from .utils_synth import face_blob_image
+
+    xml = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
+    if not os.path.exists(xml):
+        pytest.skip("pretrained cascade missing")
+    import dataclasses
+
+    m = read_cascade_xml(xml)
+    m4 = dataclasses.replace(m, stages=list(m.stages[:4]))
+    frames = [face_blob_image(240, 180, n=3, seed=s) for s in range(5)]
+    det = TPUDetector(m4, exact=False, engine="fused")
+    det._fused.tail_n = 4096
+    single = det.detect_multi_scale_batch(frames, 1.2, 0)
+    multi = det.detect_multi_scale_batch(
+        frames, 1.2, 0, devices=jax.devices()[:4]
+    )
+    assert len(single) == len(multi) == 5
+    total = 0
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)
+        total += len(a)
+    assert total > 0
