@@ -720,11 +720,31 @@ class TPUDetector:
         else:
             frames_dev = [stack[i] for i in range(n_frames)]
         # submit every frame before fetching any result: dispatches are
-        # async, so the device pipeline stays full while results stream
-        outs = [
-            self._fused.detect_async(plan, tab, f, max_det)
-            for f in frames_dev
-        ]
+        # async, so the device pipeline stays full while results stream.
+        # Single-device batches go through the vmapped head programs in
+        # groups of BATCH_F frames (one dispatch runs F canvases/fronts —
+        # the per-program dispatch overhead otherwise caps throughput)
+        BF = self._fused.BATCH_F
+        if devices is not None and len(devices) > 1:
+            outs = [
+                self._fused.detect_async(plan, tab, f, max_det)
+                for f in frames_dev
+            ]
+        else:
+            outs = []
+            i = 0
+            while BF > 1 and i + BF <= n_frames:
+                outs.extend(
+                    self._fused.detect_async_batch(
+                        plan, tab, stack[i : i + BF], max_det
+                    )
+                )
+                i += BF
+            for j in range(i, n_frames):
+                outs.append(
+                    self._fused.detect_async(plan, tab, frames_dev[j],
+                                             max_det)
+                )
         # pack the whole batch into ONE device array and fetch it with a
         # single host round trip (~28 ms each through the tunnel —
         # per-frame per-array fetches would dominate the batch)

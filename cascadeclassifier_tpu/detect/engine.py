@@ -548,6 +548,67 @@ class FusedEngine:
             consts,
         )
 
+    # frames per vmapped head program (canvas/prep/front run F frames per
+    # dispatch): per-frame Python dispatch costs ~0.7 ms through the
+    # tunnel x ~8 chained programs — at 1 frame/program that alone caps
+    # throughput near 150 fps; vmapping divides it by F
+    BATCH_F = 8
+
+    def batch_program(self, plan, max_det: int, F: int):
+        """Vmapped-over-F variants of the head programs (canvas → front);
+        the survivor tail stays per-frame (its pallas patchify uses SMEM
+        scalars that don't batch)."""
+        key = (plan.canvas_h, plan.canvas_w, max_det, "batch", F)
+        if key not in self._programs:
+            (canvas, prep, psplit, msplit, stitch), fronts, tail, consts = (
+                self.program(plan, max_det)
+            )
+
+            def vm(f, ax):
+                return jax.jit(jax.vmap(f, in_axes=ax))
+
+            use_static = msplit is not None
+            self._programs[key] = (
+                (
+                    vm(canvas, (0, None, None, None)),
+                    vm(prep, (0, 0, 0, None)),
+                    vm(psplit, (0,)) if psplit is not None else None,
+                    vm(msplit, (0, 0, None)) if use_static else None,
+                    vm(stitch, (0,)) if use_static else None,
+                ),
+                [
+                    vm(f, (0, 0, 0) if use_static else (0, 0, 0, 0))
+                    for f in fronts
+                ],
+                tail,
+                consts,
+            )
+        return self._programs[key]
+
+    def detect_async_batch(self, plan, tab, imgs, max_det: int):
+        """Submit F same-geometry frames ((F, H, W) device/host uint8)
+        through the vmapped head programs; returns F per-frame device
+        tuples (fidx, fcnt, tail_cnt, overflow)."""
+        F = int(imgs.shape[0])
+        (canvas, prep, psplit, msplit, stitch), fronts, tail, (R, Cs) = (
+            self.batch_program(plan, max_det, F)
+        )
+        sum_b, sq_b, tilt_b = canvas(jnp.asarray(imgs), tab, R, Cs)
+        planes_b = psplit(sum_b) if psplit is not None else None
+        inv_b, alive_b = prep(sum_b, sq_b, tilt_b, tab)
+        if msplit is not None:
+            state = msplit(alive_b, inv_b, tab)
+            for f in fronts:
+                state = f(sum_b, planes_b, state)
+            alive_b = stitch(state)
+        else:
+            for f in fronts:
+                alive_b = f(sum_b, tilt_b, inv_b, alive_b)
+        return [
+            tail(sum_b[i], tilt_b[i], inv_b[i], alive_b[i])
+            for i in range(F)
+        ]
+
     # -- host-side driver ---------------------------------------------------
 
     def detect_async(self, plan, tab, img, max_det: int):

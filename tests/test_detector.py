@@ -573,3 +573,34 @@ def test_fused_engine_tilted_stump_tail_parity(tmp_path):
     got = sorted(map(tuple, fus.detect_multi_scale(img, 1.2, 0)))
     assert fus._fused.n_dense < len(ms.stages)  # tail actually ran
     assert got == want and len(got) > 0
+
+
+def test_fused_batched_head_programs_identical(face_img):
+    """The vmapped F-frame head programs (detect_async_batch) must produce
+    exactly the per-frame results, on both the XLA front and the
+    static-Pallas (interpret) front."""
+    import dataclasses
+
+    m = read_cascade_xml(HAAR_ALT)
+    m6 = dataclasses.replace(m, stages=list(m.stages[:6]))
+    frames = [face_blob_image(240, 180, n=4, seed=s) for s in range(6)]
+
+    det1 = TPUDetector(m6, exact=False, engine="fused")
+    det1._fused.tail_n = 4096
+    det1._fused.BATCH_F = 1  # per-frame reference
+    ref = det1.detect_multi_scale_batch(frames, 1.2, 0)
+    assert sum(len(r) for r in ref) > 0
+
+    det2 = TPUDetector(m6, exact=False, engine="fused")
+    det2._fused.tail_n = 4096
+    det2._fused.BATCH_F = 4  # 4-frame groups + 2 per-frame remainder
+    got = det2.detect_multi_scale_batch(frames, 1.2, 0)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    det3 = TPUDetector(m6, exact=False, engine="fused",
+                       pallas_interpret=True)
+    det3._fused.BATCH_F = 4
+    got3 = det3.detect_multi_scale_batch(frames, 1.2, 0)
+    for a, b in zip(ref, got3):
+        np.testing.assert_array_equal(a, b)
