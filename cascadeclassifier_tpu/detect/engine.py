@@ -31,8 +31,6 @@ asserted by tests/test_detector.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -100,8 +98,9 @@ def parity_visited(m0, on, ordinal=None):
 
 
 class FusedEngine:
-    """Builds one jitted program per (plan, params) running the entire
-    multiscale detection for stump Haar cascades without tilted features.
+    """Builds the chained per-(plan, params) programs running the entire
+    multiscale detection for Haar and LBP cascades (tilted and deep-tree
+    included; deep cascades run every stage dense).
 
     n_front: number of stages evaluated densely before survivor
     compaction. tail_n: static survivor capacity of the MXU tail (the
