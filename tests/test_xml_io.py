@@ -191,3 +191,44 @@ def test_legacy_haar_loads_in_opencv(tmp_path, oracle_bin):
     cv2.imwrite(img, np.random.default_rng(0).integers(0, 255, (64, 64)).astype(np.uint8))
     r = subprocess.run([oracle_bin, out, img], capture_output=True, text=True)
     assert "LOADED" in r.stdout
+
+
+def test_resume_with_corrupt_stage_xml_errors(tmp_path):
+    """Fault injection: a truncated/corrupt stage checkpoint must raise a
+    clean parse error on resume, not load garbage stages (the reference
+    throws from FileStorage on malformed checkpoints)."""
+    import pytest
+
+    from cascadeclassifier_tpu.train.trainer import CascadeTrainer
+
+    tr = CascadeTrainer(win_w=12, win_h=12)
+    from cascadeclassifier_tpu.models.xml_io import write_params_xml
+
+    write_params_xml(tr._to_model(compact=False), str(tmp_path / "params.xml"))
+    (tmp_path / "stage0.xml").write_text(
+        "<?xml version=\"1.0\"?>\n<opencv_storage><stage0><maxWeakCount>"
+    )  # truncated mid-document
+    tr2 = CascadeTrainer(win_w=12, win_h=12)
+    with pytest.raises(Exception) as ei:
+        tr2.load(str(tmp_path))
+    assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+
+
+def test_vec_truncated_mid_stream_errors(tmp_path):
+    """Fault injection: a vec file whose payload is shorter than its
+    header claims must raise VecError when the reader runs past the end
+    (imagestorage.cpp:166-174 CV_Error semantics)."""
+    import pytest
+
+    from cascadeclassifier_tpu.data.vec import PosReader, VecError, write_vec
+
+    s = np.random.default_rng(0).integers(0, 256, (6, 12, 12)).astype(np.uint8)
+    p = str(tmp_path / "t.vec")
+    write_vec(p, s)
+    # chop the last record in half
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) - 100])
+    with pytest.raises((VecError, ValueError)):
+        r = PosReader(p, 12, 12)
+        for _ in range(6):
+            r.take(1)
