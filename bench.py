@@ -34,7 +34,7 @@ def synth_frame(k=0, h=1080, w=1920):
     return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
 
-def main():
+def run_measurement():
     import jax.numpy as jnp
 
     from cascadeclassifier_tpu.detect.detector import TPUDetector
@@ -45,7 +45,9 @@ def main():
     det = TPUDetector(model, exact=bool(int(os.environ.get("BENCH_EXACT", "0"))))
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
-    frames = [synth_frame(k) for k in range(n_frames)]
+    bh = int(os.environ.get("BENCH_H", "1080"))
+    bw = int(os.environ.get("BENCH_W", "1920"))
+    frames = [synth_frame(k, bh, bw) for k in range(n_frames)]
 
     # Measure chip throughput on device-resident frames (offline /
     # serving-pipeline scenario): frames are staged into HBM before the
@@ -56,13 +58,15 @@ def main():
     stack = jnp.asarray(np.stack(frames))
     stack.block_until_ready()
 
-    # warmup / compile (also forces a real fetch through the tunnel)
-    det.detect_multi_scale_batch(stack[:1], 1.1, 3)
+    # warmup / compile: one vmapped F-frame group + one per-frame
+    # remainder, so the timed region reuses every program shape
+    bf = det._fused.BATCH_F if det.engine == "fused" else 1
+    det.detect_multi_scale_batch(stack[: bf + 1], 1.1, 3)
 
     t0 = time.time()
     results = det.detect_multi_scale_batch(stack, 1.1, 3)
     dt = time.time() - t0
-    total_det = sum(len(r) for r in results)
+    total_det = sum(len(r) for r in results)  # noqa: F841 — sanity hook
     fps = n_frames / dt
 
     baseline = 5000.0
@@ -76,6 +80,48 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+
+
+def main():
+    """Run the measurement in a child process with a wall-clock guard.
+
+    The remote XLA compile service has stalled (and once died) on some
+    large fused 1080p program shapes; if the full static-Pallas-front
+    configuration hangs past the timeout, fall back to the XLA-front
+    configuration (CCTPU_STATIC_FRONT=0), which has compiled and
+    benched on this hardware, after the tunnel-recovery quiet period."""
+    import subprocess
+
+    if os.environ.get("CCTPU_BENCH_CHILD") == "1":
+        run_measurement()
+        return
+    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+    for conf in ("1", "0"):
+        env = dict(os.environ)
+        env["CCTPU_BENCH_CHILD"] = "1"
+        env["CCTPU_STATIC_FRONT"] = conf
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# attempt CCTPU_STATIC_FRONT={conf} timed out "
+                  f"({timeout:.0f}s); device quiet period before fallback",
+                  file=sys.stderr)
+            time.sleep(float(os.environ.get("BENCH_QUIET_S", "600")))
+            # ^ killed client wedges the device (~10 min quiet period)
+            continue
+        line = next(
+            (l for l in r.stdout.splitlines() if l.startswith("{")), None
+        )
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        print(f"# attempt CCTPU_STATIC_FRONT={conf} failed rc="
+              f"{r.returncode}\n{r.stderr[-2000:]}", file=sys.stderr)
+    raise SystemExit("bench: all engine configurations failed")
 
 
 if __name__ == "__main__":

@@ -189,9 +189,15 @@ class FusedEngine:
         # tail capacity at all. f32 untilted stump-Haar only (bit-identical
         # to the XLA front); exact-f64, LBP, tilted and deep-tree cascades
         # keep the XLA front (+ MXU tail where the tail can pack them).
+        import os
+
         use_static_front = (
             (use_pallas or self.interpret) and is_haar and not exact
             and not tilted and not deep_any
+            # escape hatch while the remote XLA compile service can stall
+            # on new large program shapes (bench.py uses it to guarantee a
+            # measurement on the XLA-front configuration)
+            and os.environ.get("CCTPU_STATIC_FRONT", "1") != "0"
         )
         if use_static_front:
             # dense static-Pallas stages until ~STATIC_FRONT_TREES trees
