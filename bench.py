@@ -97,17 +97,20 @@ def main():
         run_measurement()
         return
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
-    for conf in ("1", "0"):
+    # (static_front, batch_f): full static+vmapped first, then the
+    # vmapped XLA front, then the exact round-2-proven per-frame shape
+    for conf, bf in (("1", "8"), ("0", "8"), ("0", "1")):
         env = dict(os.environ)
         env["CCTPU_BENCH_CHILD"] = "1"
         env["CCTPU_STATIC_FRONT"] = conf
+        env["CCTPU_BATCH_F"] = bf
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
-            print(f"# attempt CCTPU_STATIC_FRONT={conf} timed out "
+            print(f"# attempt static={conf} batch_f={bf} timed out "
                   f"({timeout:.0f}s); device quiet period before fallback",
                   file=sys.stderr)
             time.sleep(float(os.environ.get("BENCH_QUIET_S", "600")))
@@ -119,7 +122,7 @@ def main():
         if r.returncode == 0 and line:
             print(line)
             return
-        print(f"# attempt CCTPU_STATIC_FRONT={conf} failed rc="
+        print(f"# attempt static={conf} batch_f={bf} failed rc="
               f"{r.returncode}\n{r.stderr[-2000:]}", file=sys.stderr)
     raise SystemExit("bench: all engine configurations failed")
 

@@ -121,6 +121,12 @@ class FusedEngine:
         self.n_front = min(n_front, len(packed.stages))
         self.tail_n = tail_n
         self.interpret = interpret
+        import os
+
+        # frames per vmapped head dispatch (see BATCH_F class comment);
+        # env override is the bench's escape hatch while new program
+        # shapes must be compile-validated on the remote service
+        self.BATCH_F = int(os.environ.get("CCTPU_BATCH_F", "8"))
         self._programs = {}
 
     def program(self, plan, max_det: int):
