@@ -604,3 +604,26 @@ def test_fused_batched_head_programs_identical(face_img):
     got3 = det3.detect_multi_scale_batch(frames, 1.2, 0)
     for a, b in zip(ref, got3):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("wh", [(1920, 1080), (1280, 720), (640, 480),
+                                (333, 257)])
+def test_fused_engine_builds_at_geometry(wh):
+    """Program construction (plan → chained program set) must succeed at
+    production geometries — catches static-front/plane pad and row_lo
+    arithmetic bugs without executing any kernel."""
+    from cascadeclassifier_tpu.detect.engine import FusedEngine
+    from cascadeclassifier_tpu.detect.detector import PackedCascade
+    from cascadeclassifier_tpu.detect.pyramid import build_plan
+
+    w, h = wh
+    m = read_cascade_xml(HAAR_ALT)
+    packed = PackedCascade.from_model(m)
+    eng = FusedEngine(packed, exact=False, interpret=True)
+    plan = build_plan(w, h, packed.win_w, packed.win_h, 1.1, None, None)
+    (canvas, prep, psplit, msplit, stitch), fronts, tail, consts = (
+        eng.program(plan, 1 << 14)
+    )
+    assert len(fronts) >= 1 and eng.n_dense >= 2
+    # interpret=True → static front path; plane+band split must exist
+    assert (msplit is None) == (stitch is None)
