@@ -302,6 +302,25 @@ class FusedEngine:
             has_plane = has_band = False
             pad_min = (0, 0)
 
+        # split-tail extraction: when the hybrid static front keeps its
+        # survivor masks in plane/band layout, run nonzero DIRECTLY on
+        # them — the plane mask is 4x smaller than the stitched canvas
+        # (the per-row int16 sort dominates extraction) and the stitch
+        # program drops out of the chain entirely. Order becomes
+        # plane-then-band instead of ascending scan order; no consumer
+        # requires scan order (parity tests compare sorted sets).
+        nz_plane = nz_band = None
+        if use_static_front and n_dense < n_stages:
+            if has_plane:
+                nz_plane = make_nonzero_fn(pg_h2, pg_w2, tail_n)
+            if has_band:
+                band_rows = (grid_rows[grid_rows >= row_lo] - row_lo).astype(
+                    np.int32
+                )
+                nz_band = make_nonzero_fn(
+                    out_h - row_lo, out_w, tail_n, band_rows
+                )
+
         def stage_pass(sum2d, tilt2d, inv_nf, si):
             st = packed.stages[si]
             if st.deep_trees is not None:
@@ -474,10 +493,38 @@ class FusedEngine:
                 alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
             return alive
 
-        def compact_collect(sum2d, tilt2d, inv_nf, alive):
-            """Survivor extraction, re-compacting MXU tail, collection."""
+        def _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt):
+            """Patchify + re-compacting MXU tail + detection collection
+            over an extracted (tail_n,) survivor list."""
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
+            oflow = cnt > tail_n
+            if use_pallas:
+                ps = ppatch(sum2d, r, c, cnt)
+                pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
+            else:
+                ps, pt = xpatch(sum2d, tilt2d, r, c)
+            widx, t_alive, t_oflow = tail_fn(
+                ps, pt, inv_nf.reshape(-1)[idx], cnt
+            )
+            oflow = oflow | t_oflow
+            # final detections come straight from the tail's survivor
+            # slots; the only compaction left is a cheap 1-D sort over
+            # the final batch — a second full-grid row-sort (nonzero_det)
+            # cost ~17 ms/frame
+            fcnt = jnp.sum(t_alive, dtype=jnp.int32)
+            k = min(max_det, int(t_alive.shape[0]))
+            sel = _nonzero_1d(t_alive.astype(jnp.int32), k)
+            fidx = idx[widx[sel]]
+            if k < max_det:
+                fidx = jnp.pad(fidx, (0, max_det - k))
+            fidx = jnp.where(
+                jnp.arange(max_det, dtype=jnp.int32) < fcnt, fidx, 0
+            )
+            return fidx, fcnt, cnt, oflow
+
+        def compact_collect(sum2d, tilt2d, inv_nf, alive):
+            """Survivor extraction, re-compacting MXU tail, collection."""
             if sparse_det is not None:
                 # the static kernels already ran EVERY stage — survivors
                 # ARE the raw detections; extract them sparsely
@@ -485,38 +532,48 @@ class FusedEngine:
                 oflow = row_oflow | (fcnt > max_det)
                 return fidx, fcnt, fcnt, oflow
             cnt = jnp.sum(alive, dtype=jnp.int32)
-            oflow = cnt > tail_n
             if n_dense < n_stages:
                 idx = nonzero_tail(alive)
                 r = (idx // out_w).astype(jnp.int32)
                 c = (idx % out_w).astype(jnp.int32)
-                if use_pallas:
-                    ps = ppatch(sum2d, r, c, cnt)
-                    pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
-                else:
-                    ps, pt = xpatch(sum2d, tilt2d, r, c)
-                widx, t_alive, t_oflow = tail_fn(
-                    ps, pt, inv_nf.reshape(-1)[idx], cnt
-                )
-                oflow = oflow | t_oflow
-                # final detections come straight from the tail's survivor
-                # slots: widx (ascending original tail rows) → idx keeps
-                # OpenCV scan order, and the only compaction left is a
-                # cheap 1-D sort over the final batch — the second
-                # full-grid row-sort (nonzero_det) cost ~17 ms/frame
-                fcnt = jnp.sum(t_alive, dtype=jnp.int32)
-                k = min(max_det, int(t_alive.shape[0]))
-                sel = _nonzero_1d(t_alive.astype(jnp.int32), k)
-                fidx = idx[widx[sel]]
-                if k < max_det:
-                    fidx = jnp.pad(fidx, (0, max_det - k))
-                fidx = jnp.where(
-                    jnp.arange(max_det, dtype=jnp.int32) < fcnt, fidx, 0
-                )
+                return _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt)
+            fcnt = jnp.sum(alive, dtype=jnp.int32)
+            fidx = nonzero_det(alive)
+            return fidx, fcnt, cnt, cnt > tail_n
+
+        def compact_collect_split(sum2d, tilt2d, inv_nf, state):
+            """Split-tail variant: survivors extracted straight from the
+            plane-layout and band masks (see nz_plane/nz_band above)."""
+            a_p, _, a_b, _ = state
+            q = jnp.arange(tail_n, dtype=jnp.int32)
+            cntp = (
+                jnp.sum(a_p != 0, dtype=jnp.int32)
+                if has_plane else jnp.int32(0)
+            )
+            if has_plane:
+                idxp = nz_plane(a_p != 0)
+                rp = (idxp // pg_w2).astype(jnp.int32) * 2
+                cp = (idxp % pg_w2).astype(jnp.int32) * 2
+            if has_band:
+                bm = a_b[: out_h - row_lo, :out_w] != 0
+                cntb = jnp.sum(bm, dtype=jnp.int32)
+                idxb = nz_band(bm)
+                rb = row_lo + (idxb // out_w).astype(jnp.int32)
+                cb = (idxb % out_w).astype(jnp.int32)
+            if has_plane and has_band:
+                qb = jnp.clip(q - cntp, 0, tail_n - 1)
+                r = jnp.where(q < cntp, rp, rb[qb])
+                c = jnp.where(q < cntp, cp, cb[qb])
+                cnt = cntp + cntb
+            elif has_plane:
+                r, c, cnt = rp, cp, cntp
             else:
-                fcnt = jnp.sum(alive, dtype=jnp.int32)
-                fidx = nonzero_det(alive)
-            return fidx, fcnt, cnt, oflow
+                r, c, cnt = rb, cb, cntb
+            live = q < cnt
+            r = jnp.where(live, r, 0)
+            c = jnp.where(live, c, 0)
+            idx = r * out_w + c
+            return _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt)
 
         if use_static_front:
 
@@ -549,13 +606,17 @@ class FusedEngine:
             fronts = [make_static_chunk(ids) for ids in chunks]
         else:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
+        use_split_tail = use_static_front and n_dense < n_stages
         return (
             (jax.jit(canvas), jax.jit(prep),
              jax.jit(plane_split) if has_plane else None,
              jax.jit(mask_split) if use_static_front else None,
-             jax.jit(stitch) if use_static_front else None),
+             jax.jit(stitch)
+             if use_static_front and not use_split_tail else None),
             fronts,
-            jax.jit(compact_collect),
+            jax.jit(
+                compact_collect_split if use_split_tail else compact_collect
+            ),
             consts,
         )
 
@@ -611,6 +672,14 @@ class FusedEngine:
             state = msplit(alive_b, inv_b, tab)
             for f in fronts:
                 state = f(sum_b, planes_b, state)
+            if stitch is None:  # split tail consumes the state directly
+                return [
+                    tail(
+                        sum_b[i], tilt_b[i], inv_b[i],
+                        jax.tree_util.tree_map(lambda x: x[i], state),
+                    )
+                    for i in range(F)
+                ]
             alive_b = stitch(state)
         else:
             for f in fronts:
@@ -635,6 +704,8 @@ class FusedEngine:
             state = msplit(alive, inv_nf, tab)
             for f in fronts:
                 state = f(sum2d, planes, state)
+            if stitch is None:  # split tail consumes the state directly
+                return tail(sum2d, tilt2d, inv_nf, state)
             alive = stitch(state)
         else:
             for f in fronts:

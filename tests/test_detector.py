@@ -625,5 +625,9 @@ def test_fused_engine_builds_at_geometry(wh):
         eng.program(plan, 1 << 14)
     )
     assert len(fronts) >= 1 and eng.n_dense >= 2
-    # interpret=True → static front path; plane+band split must exist
-    assert (msplit is None) == (stitch is None)
+    # interpret=True → static front path; the hybrid (n_dense < stages)
+    # uses the split tail (no stitch program), the all-static path keeps
+    # stitch for its sparse extraction
+    assert msplit is not None
+    n_stages = len(packed.stages)
+    assert (stitch is None) == (eng.n_dense < n_stages)
