@@ -34,6 +34,65 @@ def dense_rect_sum(c2d, rx, ry, w, h, out_h, out_w):
     )
 
 
+def plane_rect_sum(planes, rx, ry, w, h, out_h2, out_w2):
+    """dense_rect_sum at every EVEN (row, col) anchor, reading the four
+    canvas parity planes (planes[a, b] = canvas[a::2, b::2]): the corner
+    at static offset (dy, dx) from anchor (2i, 2j) lives at
+    planes[dy & 1, dx & 1][i + (dy >> 1), j + (dx >> 1)] — every read is
+    a dense slice of a plane (no strided access)."""
+
+    def sl(dy, dx):
+        p = planes[dy & 1, dx & 1]
+        return p[dy >> 1 : (dy >> 1) + out_h2, dx >> 1 : (dx >> 1) + out_w2]
+
+    return (
+        sl(ry, rx)
+        - sl(ry, rx + w)
+        - sl(ry + h, rx)
+        + sl(ry + h, rx + w)
+    )
+
+
+def plane_variance_gate(planes_sum, planes_sq, win_w, win_h, out_h2, out_w2):
+    """dense_variance_gate on the (even, even) anchor plane."""
+    rw, rh = win_w - 2, win_h - 2
+    area = rw * rh
+    with jax.enable_x64(True):
+        vs = plane_rect_sum(
+            planes_sum, 1, 1, rw, rh, out_h2, out_w2
+        ).astype(jnp.int64)
+        vq = plane_rect_sum(planes_sq, 1, 1, rw, rh, out_h2, out_w2)
+        nf2 = jnp.int64(area) * vq - vs * vs
+        pos = nf2 > 0
+        nf = jnp.sqrt(jnp.where(pos, nf2, 1).astype(jnp.float64))
+        inv_nf = (1.0 / nf).astype(jnp.float32)
+        ok = pos & ((float(area) * inv_nf.astype(jnp.float64)) < 1e-1)
+    return ok, jnp.where(ok, inv_nf, jnp.float32(1.0))
+
+
+def plane_stage_haar(planes_sum, stage, out_h2, out_w2, inv_nf):
+    """dense_stage_haar (f32, untilted stumps) on the anchor plane."""
+    acc = jnp.zeros((out_h2, out_w2), jnp.float32)
+    for i in range(stage.ntrees):
+        raw = None
+        for r in range(3):
+            wt = float(stage.weights[i, r])
+            if wt == 0.0:
+                continue
+            rx, ry, w, h = (int(v) for v in stage.feat_rects[i, r])
+            term = plane_rect_sum(
+                planes_sum, rx, ry, w, h, out_h2, out_w2
+            ).astype(jnp.float32) * np.float32(wt)
+            raw = term if raw is None else raw + term
+        val = raw * inv_nf
+        acc = acc + jnp.where(
+            val < np.float32(stage.thr[i]),
+            jnp.float32(stage.left_leaf[i]),
+            jnp.float32(stage.right_leaf[i]),
+        )
+    return acc
+
+
 def dense_tilted_rect_sum(t2d, rx, ry, w, h, out_h, out_w):
     """Tilted rect sum (CV_TILTED_OFFSETS corner geometry) at every position.
 

@@ -359,6 +359,10 @@ class FusedEngine:
             # downstream consumers slice fixed offsets, so padding is
             # transparent.
             sum_pad = pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min)
+            if use_static_front:
+                # the plane prep reads parity planes of the SQUARED
+                # integral too — pad it to the same even geometry
+                sq2d = pad_canvas_for_patchify(sq2d, packed.win_h, *pad_min)
             if tilt2d is None:
                 # placeholder so the chained-program signatures stay
                 # uniform; no stage reads it in untilted cascades
@@ -367,16 +371,17 @@ class FusedEngine:
                 tilt2d, packed.win_h, *pad_min
             )
 
-        def plane_split(sp):
-            # the four parity planes planes[a, b] = sp[a::2, b::2] feed
-            # the plane front kernel's static corner reads. A SEPARATE
+        def _to_planes(x):
+            hp_, wp_ = x.shape
+            return x.reshape(hp_ // 2, 2, wp_ // 2, 2).transpose(1, 3, 0, 2)
+
+        def plane_split(sum_pad, sq_pad):
+            # the four parity planes planes[a, b] = x[a::2, b::2] feed
+            # the plane prep/front's static corner reads. A SEPARATE
             # program: fused into the canvas build it trips the remote
             # XLA compile stall (same pathology as the canvas+gate
             # fusion, engine.py head comment).
-            hp_, wp_ = sp.shape
-            return sp.reshape(hp_ // 2, 2, wp_ // 2, 2).transpose(
-                1, 3, 0, 2
-            )
+            return _to_planes(sum_pad), _to_planes(sq_pad)
 
         def prep(sum2d, sq2d, tilt2d, tab):
             """Gate + stage 0 + the serial-walk visited mask."""
@@ -406,44 +411,97 @@ class FusedEngine:
             alive = gate & grid & passed0 & visited
             return inv_nf, alive
 
-        def mask_split(alive, inv_nf, tab):
-            """Split survivors between the parity-plane region (ystep-2
-            rows, subsampled to the even-even anchor plane — lossless:
-            every step-2 grid anchor is even) and the full-density
-            bottom band (ystep-1 rows). A SEPARATE program from prep:
-            the 1080p-scale fused variant stalls the remote XLA compile
-            (same pathology as the canvas+gate fusion, head comment).
-            Subsampling is pad+reshape+contiguous-index — no strided
-            slices, the other known stall trigger at this size."""
-            step2r = tab["row_step2"][:out_h, None]
-            a_p = inv_p = a_b = inv_b = None
-            if has_plane:
-                rows = min(out_h, 2 * pg_h2)
-                cols = min(out_w, 2 * pg_w2)
-                pad = ((0, 2 * pg_h2 - rows), (0, 2 * pg_w2 - cols))
-                a2 = jnp.pad((alive & step2r)[:rows, :cols], pad)
-                a_p = (
-                    a2.reshape(pg_h2, 2, pg_w2, 2)[:, 0, :, 0]
-                    .astype(jnp.int8)
+        # plane/band prep: the static-front head computes gate + stage 0
+        # + the serial-walk visited mask DIRECTLY in the split layout —
+        # the parity-plane region does its dense work on the (even, even)
+        # anchor plane (4x fewer positions; every corner read is a dense
+        # slice of a parity plane), the ystep-1 band runs full-density on
+        # its row slice. Replaces the full-canvas prep + mask_split pair:
+        # less work AND simpler program shapes for the remote compiler.
+        if use_static_front and has_plane:
+            from cascadeclassifier_tpu.detect.dense import (
+                plane_stage_haar,
+                plane_variance_gate,
+            )
+
+            er = np.arange(pg_h2) * 2  # canvas row of each plane anchor
+            ok_r = er < min(out_h, len(plan.row_is_grid))
+            p_grid_np = np.zeros(pg_h2, bool)
+            p_grid_np[ok_r] = (
+                plan.row_is_grid[er[ok_r]] & plan.row_step2[er[ok_r]]
+            )
+            p_maxc_np = np.full(pg_h2, -1, np.int32)
+            p_maxc_np[ok_r] = plan.row_maxc[er[ok_r]] >> 1
+
+            def prep_plane(planes_sum, planes_sq):
+                """Gate + stage 0 + walk on the anchor plane."""
+                gate, inv_p = plane_variance_gate(
+                    planes_sum, planes_sq, packed.win_w, packed.win_h,
+                    pg_h2, pg_w2,
                 )
-                iv2 = jnp.pad(
-                    inv_nf[:rows, :cols], pad, constant_values=1.0
+                cols2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (pg_h2, pg_w2), 1
                 )
-                inv_p = iv2.reshape(pg_h2, 2, pg_w2, 2)[:, 0, :, 0]
-            if has_band:
-                a1 = alive & (~step2r) if has_plane else alive
-                hb = fp_hp - row_lo
+                grid = (
+                    jnp.asarray(p_grid_np)[:, None]
+                    & (cols2 <= jnp.asarray(p_maxc_np)[:, None])
+                )
+                ordinal = jnp.cumsum(grid.astype(jnp.int32), axis=1)
+                st0 = packed.stages[0]
+                passed0 = (
+                    plane_stage_haar(planes_sum, st0, pg_h2, pg_w2, inv_p)
+                    >= jnp.float32(st0.threshold)
+                )
+                visited = parity_visited(gate & (~passed0), grid, ordinal)
+                a_p = (gate & grid & passed0 & visited).astype(jnp.int8)
+                return a_p, inv_p
+        else:
+            prep_plane = None
+
+        if use_static_front and has_band:
+
+            def prep_band(sum_pad, sq_pad, tab):
+                """Gate + stage 0 + walk on the ystep-1 bottom band
+                (full density; rows are walk-independent so the band
+                slice is self-contained)."""
+                hb, hbr = fp_hp - row_lo, out_h - row_lo
+                sum_b = sum_pad[row_lo:]
+                gate, inv_r = dense_variance_gate(
+                    sum_b, sq_pad[row_lo:], packed.win_w, packed.win_h,
+                    hbr, out_w,
+                )
+                cols = jax.lax.broadcasted_iota(jnp.int32, (hbr, out_w), 1)
+                rg = tab["row_is_grid"][row_lo:out_h]
+                st2 = tab["row_step2"][row_lo:out_h]
+                mc = tab["row_maxc"][row_lo:out_h]
+                grid = (
+                    rg[:, None]
+                    & (cols <= mc[:, None])
+                    & ((~st2[:, None]) | ((cols & 1) == 0))
+                )
+                ordinal = jnp.cumsum(grid.astype(jnp.int32), axis=1)
+                st0 = packed.stages[0]
+                ssum = dense_stage_haar(
+                    sum_b, sum_b, st0, hbr, out_w, inv_r, exact=False
+                )
+                passed0 = ssum >= jnp.float32(st0.threshold)
+                visited = parity_visited(gate & (~passed0), grid, ordinal)
+                alive = (
+                    gate & grid & passed0 & visited & (~st2[:, None])
+                )
                 a_b = (
                     jnp.zeros((hb, fp_wp), jnp.int8)
-                    .at[: out_h - row_lo, :out_w]
-                    .set(a1[row_lo:].astype(jnp.int8))
+                    .at[:hbr, :out_w]
+                    .set(alive.astype(jnp.int8))
                 )
                 inv_b = (
                     jnp.ones((hb, fp_wp), jnp.float32)
-                    .at[: out_h - row_lo, :out_w]
-                    .set(inv_nf[row_lo:])
+                    .at[:hbr, :out_w]
+                    .set(inv_r)
                 )
-            return a_p, inv_p, a_b, inv_b
+                return a_b, inv_b
+        else:
+            prep_band = None
 
         # dense front chunks of ≤ FRONT_CHUNK / STATIC_CHUNK trees
         chunk_cap = self.STATIC_CHUNK if use_static_front else self.FRONT_CHUNK
@@ -493,9 +551,10 @@ class FusedEngine:
                 alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
             return alive
 
-        def _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt):
+        def _run_tail(sum2d, tilt2d, inv_vec, idx, r, c, cnt):
             """Patchify + re-compacting MXU tail + detection collection
-            over an extracted (tail_n,) survivor list."""
+            over an extracted (tail_n,) survivor list; inv_vec holds each
+            slot's 1/normfactor."""
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
             oflow = cnt > tail_n
@@ -504,9 +563,7 @@ class FusedEngine:
                 pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
             else:
                 ps, pt = xpatch(sum2d, tilt2d, r, c)
-            widx, t_alive, t_oflow = tail_fn(
-                ps, pt, inv_nf.reshape(-1)[idx], cnt
-            )
+            widx, t_alive, t_oflow = tail_fn(ps, pt, inv_vec, cnt)
             oflow = oflow | t_oflow
             # final detections come straight from the tail's survivor
             # slots; the only compaction left is a cheap 1-D sort over
@@ -523,28 +580,32 @@ class FusedEngine:
             )
             return fidx, fcnt, cnt, oflow
 
+        def compact_collect_static(alive):
+            """All-static path: the kernels already ran EVERY stage —
+            survivors ARE the raw detections; extract them sparsely."""
+            fidx, fcnt, row_oflow = sparse_det(alive)
+            oflow = row_oflow | (fcnt > max_det)
+            return fidx, fcnt, fcnt, oflow
+
         def compact_collect(sum2d, tilt2d, inv_nf, alive):
             """Survivor extraction, re-compacting MXU tail, collection."""
-            if sparse_det is not None:
-                # the static kernels already ran EVERY stage — survivors
-                # ARE the raw detections; extract them sparsely
-                fidx, fcnt, row_oflow = sparse_det(alive)
-                oflow = row_oflow | (fcnt > max_det)
-                return fidx, fcnt, fcnt, oflow
             cnt = jnp.sum(alive, dtype=jnp.int32)
             if n_dense < n_stages:
                 idx = nonzero_tail(alive)
                 r = (idx // out_w).astype(jnp.int32)
                 c = (idx % out_w).astype(jnp.int32)
-                return _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt)
+                return _run_tail(
+                    sum2d, tilt2d, inv_nf.reshape(-1)[idx], idx, r, c, cnt
+                )
             fcnt = jnp.sum(alive, dtype=jnp.int32)
             fidx = nonzero_det(alive)
             return fidx, fcnt, cnt, cnt > tail_n
 
-        def compact_collect_split(sum2d, tilt2d, inv_nf, state):
-            """Split-tail variant: survivors extracted straight from the
-            plane-layout and band masks (see nz_plane/nz_band above)."""
-            a_p, _, a_b, _ = state
+        def compact_collect_split(sum2d, tilt2d, state):
+            """Split-tail variant: survivors (and their 1/normfactor)
+            extracted straight from the plane-layout and band arrays (see
+            nz_plane/nz_band above)."""
+            a_p, inv_p, a_b, inv_b = state
             q = jnp.arange(tail_n, dtype=jnp.int32)
             cntp = (
                 jnp.sum(a_p != 0, dtype=jnp.int32)
@@ -554,26 +615,29 @@ class FusedEngine:
                 idxp = nz_plane(a_p != 0)
                 rp = (idxp // pg_w2).astype(jnp.int32) * 2
                 cp = (idxp % pg_w2).astype(jnp.int32) * 2
+                ivp = inv_p.reshape(-1)[idxp]
             if has_band:
                 bm = a_b[: out_h - row_lo, :out_w] != 0
                 cntb = jnp.sum(bm, dtype=jnp.int32)
                 idxb = nz_band(bm)
                 rb = row_lo + (idxb // out_w).astype(jnp.int32)
                 cb = (idxb % out_w).astype(jnp.int32)
+                ivb = inv_b[: out_h - row_lo, :out_w].reshape(-1)[idxb]
             if has_plane and has_band:
                 qb = jnp.clip(q - cntp, 0, tail_n - 1)
                 r = jnp.where(q < cntp, rp, rb[qb])
                 c = jnp.where(q < cntp, cp, cb[qb])
+                iv = jnp.where(q < cntp, ivp, ivb[qb])
                 cnt = cntp + cntb
             elif has_plane:
-                r, c, cnt = rp, cp, cntp
+                r, c, iv, cnt = rp, cp, ivp, cntp
             else:
-                r, c, cnt = rb, cb, cntb
+                r, c, iv, cnt = rb, cb, ivb, cntb
             live = q < cnt
             r = jnp.where(live, r, 0)
             c = jnp.where(live, c, 0)
             idx = r * out_w + c
-            return _run_tail(sum2d, tilt2d, inv_nf, idx, r, c, cnt)
+            return _run_tail(sum2d, tilt2d, iv, idx, r, c, cnt)
 
         if use_static_front:
 
@@ -607,16 +671,22 @@ class FusedEngine:
         else:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
         use_split_tail = use_static_front and n_dense < n_stages
+        if use_split_tail:
+            tail_jit = jax.jit(compact_collect_split)
+        elif sparse_det is not None:
+            tail_jit = jax.jit(compact_collect_static)
+        else:
+            tail_jit = jax.jit(compact_collect)
         return (
-            (jax.jit(canvas), jax.jit(prep),
+            (jax.jit(canvas),
+             None if use_static_front else jax.jit(prep),
              jax.jit(plane_split) if has_plane else None,
-             jax.jit(mask_split) if use_static_front else None,
+             jax.jit(prep_plane) if prep_plane is not None else None,
+             jax.jit(prep_band) if prep_band is not None else None,
              jax.jit(stitch)
              if use_static_front and not use_split_tail else None),
             fronts,
-            jax.jit(
-                compact_collect_split if use_split_tail else compact_collect
-            ),
+            tail_jit,
             consts,
         )
 
@@ -632,21 +702,23 @@ class FusedEngine:
         scalars that don't batch)."""
         key = (plan.canvas_h, plan.canvas_w, max_det, "batch", F)
         if key not in self._programs:
-            (canvas, prep, psplit, msplit, stitch), fronts, tail, consts = (
-                self.program(plan, max_det)
-            )
+            (canvas, prep, psplit, prep_plane, prep_band, stitch), \
+                fronts, tail, consts = self.program(plan, max_det)
 
             def vm(f, ax):
                 return jax.jit(jax.vmap(f, in_axes=ax))
 
-            use_static = msplit is not None
+            use_static = prep is None
             self._programs[key] = (
                 (
                     vm(canvas, (0, None, None, None)),
-                    vm(prep, (0, 0, 0, None)),
-                    vm(psplit, (0,)) if psplit is not None else None,
-                    vm(msplit, (0, 0, None)) if use_static else None,
-                    vm(stitch, (0,)) if use_static else None,
+                    None if use_static else vm(prep, (0, 0, 0, None)),
+                    vm(psplit, (0, 0)) if psplit is not None else None,
+                    vm(prep_plane, (0, 0))
+                    if prep_plane is not None else None,
+                    vm(prep_band, (0, 0, None))
+                    if prep_band is not None else None,
+                    vm(stitch, (0,)) if stitch is not None else None,
                 ),
                 [
                     vm(f, (0, 0, 0) if use_static else (0, 0, 0, 0))
@@ -662,30 +734,34 @@ class FusedEngine:
         through the vmapped head programs; returns F per-frame device
         tuples (fidx, fcnt, tail_cnt, overflow)."""
         F = int(imgs.shape[0])
-        (canvas, prep, psplit, msplit, stitch), fronts, tail, (R, Cs) = (
-            self.batch_program(plan, max_det, F)
-        )
+        (canvas, prep, psplit, prep_plane, prep_band, stitch), fronts, \
+            tail, (R, Cs) = self.batch_program(plan, max_det, F)
         sum_b, sq_b, tilt_b = canvas(jnp.asarray(imgs), tab, R, Cs)
-        planes_b = psplit(sum_b) if psplit is not None else None
-        inv_b, alive_b = prep(sum_b, sq_b, tilt_b, tab)
-        if msplit is not None:
-            state = msplit(alive_b, inv_b, tab)
+        if prep is None:  # static front: split-layout head
+            planes = psplit(sum_b, sq_b) if psplit is not None else None
+            a_p = inv_p = a_b = inv_b = None
+            if prep_plane is not None:
+                a_p, inv_p = prep_plane(planes[0], planes[1])
+            if prep_band is not None:
+                a_b, inv_b = prep_band(sum_b, sq_b, tab)
+            state = (a_p, inv_p, a_b, inv_b)
+            psum = planes[0] if planes is not None else None
             for f in fronts:
-                state = f(sum_b, planes_b, state)
-            if stitch is None:  # split tail consumes the state directly
+                state = f(sum_b, psum, state)
+            pick = jax.tree_util.tree_map
+            if stitch is None:
                 return [
-                    tail(
-                        sum_b[i], tilt_b[i], inv_b[i],
-                        jax.tree_util.tree_map(lambda x: x[i], state),
-                    )
+                    tail(sum_b[i], tilt_b[i],
+                         pick(lambda x, i=i: x[i], state))
                     for i in range(F)
                 ]
             alive_b = stitch(state)
-        else:
-            for f in fronts:
-                alive_b = f(sum_b, tilt_b, inv_b, alive_b)
+            return [tail(alive_b[i]) for i in range(F)]
+        inv_nf, alive_b = prep(sum_b, sq_b, tilt_b, tab)
+        for f in fronts:
+            alive_b = f(sum_b, tilt_b, inv_nf, alive_b)
         return [
-            tail(sum_b[i], tilt_b[i], inv_b[i], alive_b[i])
+            tail(sum_b[i], tilt_b[i], inv_nf[i], alive_b[i])
             for i in range(F)
         ]
 
@@ -694,22 +770,27 @@ class FusedEngine:
     def detect_async(self, plan, tab, img, max_det: int):
         """Submit one frame (a few chained async dispatches, no syncs);
         returns device arrays (fidx, fcnt, tail_cnt, overflow)."""
-        (canvas, prep, psplit, msplit, stitch), fronts, tail, (R, Cs) = (
-            self.program(plan, max_det)
-        )
+        (canvas, prep, psplit, prep_plane, prep_band, stitch), fronts, \
+            tail, (R, Cs) = self.program(plan, max_det)
         sum2d, sq2d, tilt2d = canvas(jnp.asarray(img), tab, R, Cs)
-        planes = psplit(sum2d) if psplit is not None else None
+        if prep is None:  # static front: split-layout head
+            planes = psplit(sum2d, sq2d) if psplit is not None else None
+            a_p = inv_p = a_b = inv_b = None
+            if prep_plane is not None:
+                a_p, inv_p = prep_plane(planes[0], planes[1])
+            if prep_band is not None:
+                a_b, inv_b = prep_band(sum2d, sq2d, tab)
+            state = (a_p, inv_p, a_b, inv_b)
+            psum = planes[0] if planes is not None else None
+            for f in fronts:
+                state = f(sum2d, psum, state)
+            if stitch is None:  # hybrid: split tail consumes the state
+                return tail(sum2d, tilt2d, state)
+            # all-static: survivors ARE the detections; sparse-extract
+            return tail(stitch(state))
         inv_nf, alive = prep(sum2d, sq2d, tilt2d, tab)
-        if msplit is not None:
-            state = msplit(alive, inv_nf, tab)
-            for f in fronts:
-                state = f(sum2d, planes, state)
-            if stitch is None:  # split tail consumes the state directly
-                return tail(sum2d, tilt2d, inv_nf, state)
-            alive = stitch(state)
-        else:
-            for f in fronts:
-                alive = f(sum2d, tilt2d, inv_nf, alive)
+        for f in fronts:
+            alive = f(sum2d, tilt2d, inv_nf, alive)
         return tail(sum2d, tilt2d, inv_nf, alive)
 
     def finish(self, out, max_det: int):

@@ -621,13 +621,14 @@ def test_fused_engine_builds_at_geometry(wh):
     packed = PackedCascade.from_model(m)
     eng = FusedEngine(packed, exact=False, interpret=True)
     plan = build_plan(w, h, packed.win_w, packed.win_h, 1.1, None, None)
-    (canvas, prep, psplit, msplit, stitch), fronts, tail, consts = (
-        eng.program(plan, 1 << 14)
-    )
+    (canvas, prep, psplit, prep_plane, prep_band, stitch), fronts, tail, \
+        consts = eng.program(plan, 1 << 14)
     assert len(fronts) >= 1 and eng.n_dense >= 2
-    # interpret=True → static front path; the hybrid (n_dense < stages)
-    # uses the split tail (no stitch program), the all-static path keeps
+    # interpret=True → static front: split-layout head (prep is None,
+    # plane and/or band prep exist); the hybrid (n_dense < stages) uses
+    # the split tail (no stitch program), the all-static path keeps
     # stitch for its sparse extraction
-    assert msplit is not None
+    assert prep is None
+    assert prep_plane is not None or prep_band is not None
     n_stages = len(packed.stages)
     assert (stitch is None) == (eng.n_dense < n_stages)
