@@ -460,6 +460,51 @@ def make_nonzero_fn(out_h, out_w, n_max, grid_rows=None):
     return jax.jit(fn)
 
 
+def make_block_nonzero_fn(n_rows, out_w, n_max, kb=1 << 14):
+    """fn(mask (n_rows, out_w) bool) -> (idx (n_max,) i32, blk_oflow bool)
+
+    Block-compressed single-sort extraction for sparse masks: the (R, W)
+    per-row int16 sort of make_nonzero_fn costs 7–12 ms at 1080p canvas
+    sizes regardless of sparsity, and a searchsorted query phase adds
+    ~7 ms of serial gather rounds at n_max=65536. Here the mask is
+    OR-reduced to 128-lane blocks (one cheap lane reduction), the ≤ kb
+    live block ids are packed with a small 1-D sort, and the live
+    blocks' FLAT SURVIVOR INDICES are sorted directly — one 2M-element
+    sort replaces packing + cumsum + searchsorted + gathers (2.5 ms vs
+    9.2 ms measured on the v5e at the 1080p plane mask).
+
+    Ascending flat indices, zero-padded, identical to make_nonzero_fn.
+    blk_oflow reports live blocks > kb (caller falls back)."""
+    WB = 128
+    wpad = -(-out_w // WB) * WB
+    nb_cols = wpad // WB
+    nblocks = n_rows * nb_cols
+    kb = min(kb, nblocks)
+    BIG = jnp.int32(2**31 - 1)
+
+    def fn(mask):
+        m = mask
+        if wpad != out_w:
+            m = jnp.pad(mask, ((0, 0), (0, wpad - out_w)))
+        m8 = m.reshape(nblocks, WB).astype(jnp.int8)
+        bcnt = jnp.sum(m8, axis=1, dtype=jnp.int32)  # (nblocks,)
+        live = (bcnt > 0).astype(jnp.int32)
+        nlive = jnp.sum(live)
+        blk_oflow = nlive > kb
+        bsel = _nonzero_1d(live, kb)  # ascending live block ids (clamped)
+        valid = jnp.arange(kb, dtype=jnp.int32) < nlive
+        sub = jnp.take(m8, bsel, axis=0) * valid[:, None].astype(jnp.int8)
+        base = (bsel // nb_cols) * out_w + (bsel % nb_cols) * WB  # (kb,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kb, WB), 1)
+        keys = jnp.where(sub != 0, base[:, None] + lane, BIG)
+        flat = jax.lax.sort(keys.reshape(-1))
+        total = jnp.sum(bcnt)
+        q = jnp.arange(n_max, dtype=jnp.int32)
+        return jnp.where(q < total, flat[:n_max], 0), blk_oflow
+
+    return jax.jit(fn)
+
+
 def make_sparse_nonzero_fn(out_h, out_w, n_max, k_rows, grid_rows=None):
     """fn(mask (H,W) bool) -> (idx (n_max,) i32, total i32, row_oflow bool)
 
@@ -533,7 +578,7 @@ def make_patchify_fn(win_w, win_h, need_tilt):
 
 
 def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
-                         interpret=False):
+                         interpret=False, g_windows=64, d_inflight=8):
     """Pallas patch extractor:
     fn(canvas_pad, r, c, cnt) -> (n, (win_h+1)*(win_w+1)).
 
@@ -558,9 +603,9 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     assert pw <= 32 and ph <= 32, "pallas patchify supports windows <= 31"
     PH8 = -(-ph // 8) * 8
     rows = PH8 + 8  # HBM slices must be 8-row aligned: base + phase room
-    G = 64 if n >= 64 else n  # windows per grid step
-    D = min(8, G)  # in-flight canvas DMAs (hides per-DMA latency)
-    RCW = 256  # rc row lanes (2*G+1 <= RCW)
+    G = g_windows if n >= g_windows else n  # windows per grid step
+    D = min(d_inflight, G)  # in-flight canvas DMAs (hides per-DMA latency)
+    RCW = max(256, 1 << int(np.ceil(np.log2(2 * G + 1))))  # rc row lanes
     assert n % G == 0
 
     def kernel(rc_hbm, canvas_hbm, out_hbm, rcbuf, bufs, pbuf,

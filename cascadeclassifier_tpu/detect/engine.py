@@ -124,9 +124,12 @@ class FusedEngine:
         import os
 
         # frames per vmapped head dispatch (see BATCH_F class comment);
-        # env override is the bench's escape hatch while new program
-        # shapes must be compile-validated on the remote service
-        self.BATCH_F = int(os.environ.get("CCTPU_BATCH_F", "8"))
+        # default 1: with the static Pallas front the chained programs
+        # run 10-40 ms each, so dispatch amortization no longer matters,
+        # and the vmapped head programs measured ~20% SLOWER per frame
+        # than the per-frame programs (batched canvas 14.6 vs 9.9 ms,
+        # psplit 5.0 vs 4.4 — worse XLA layouts under the frame axis)
+        self.BATCH_F = int(os.environ.get("CCTPU_BATCH_F", "1"))
         self._programs = {}
 
     def program(self, plan, max_det: int):
@@ -311,14 +314,15 @@ class FusedEngine:
         # requires scan order (parity tests compare sorted sets).
         nz_plane = nz_band = None
         if use_static_front and n_dense < n_stages:
+            from cascadeclassifier_tpu.detect.compact import (
+                make_block_nonzero_fn,
+            )
+
             if has_plane:
-                nz_plane = make_nonzero_fn(pg_h2, pg_w2, tail_n)
+                nz_plane = make_block_nonzero_fn(pg_h2, pg_w2, tail_n)
             if has_band:
-                band_rows = (grid_rows[grid_rows >= row_lo] - row_lo).astype(
-                    np.int32
-                )
-                nz_band = make_nonzero_fn(
-                    out_h - row_lo, out_w, tail_n, band_rows
+                nz_band = make_block_nonzero_fn(
+                    out_h - row_lo, out_w, tail_n
                 )
 
         def stage_pass(sum2d, tilt2d, inv_nf, si):
@@ -372,8 +376,17 @@ class FusedEngine:
             )
 
         def _to_planes(x):
-            hp_, wp_ = x.shape
-            return x.reshape(hp_ // 2, 2, wp_ // 2, 2).transpose(1, 3, 0, 2)
+            # row split by sublane-strided slice (cheap), then column
+            # deinterleave via a reshape relayout: 4.3 ms vs 62 ms for the
+            # single reshape+transpose and 602 ms for lane-strided slices
+            # (measured on the v5e at the 1080p canvas; bit-identical)
+            e, o = x[0::2, :], x[1::2, :]
+
+            def cols(y):
+                yr = y.reshape(y.shape[0], y.shape[1] // 2, 2)
+                return jnp.stack([yr[:, :, 0], yr[:, :, 1]])
+
+            return jnp.stack([cols(e), cols(o)])
 
         def plane_split(sum_pad, sq_pad):
             # the four parity planes planes[a, b] = x[a::2, b::2] feed
@@ -551,13 +564,14 @@ class FusedEngine:
                 alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
             return alive
 
-        def _run_tail(sum2d, tilt2d, inv_vec, idx, r, c, cnt):
+        def _run_tail(sum2d, tilt2d, inv_vec, idx, r, c, cnt,
+                      extra_oflow=False):
             """Patchify + re-compacting MXU tail + detection collection
             over an extracted (tail_n,) survivor list; inv_vec holds each
             slot's 1/normfactor."""
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
-            oflow = cnt > tail_n
+            oflow = (cnt > tail_n) | extra_oflow
             if use_pallas:
                 ps = ppatch(sum2d, r, c, cnt)
                 pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
@@ -607,19 +621,22 @@ class FusedEngine:
             nz_plane/nz_band above)."""
             a_p, inv_p, a_b, inv_b = state
             q = jnp.arange(tail_n, dtype=jnp.int32)
+            blk_oflow = jnp.zeros((), bool)
             cntp = (
                 jnp.sum(a_p != 0, dtype=jnp.int32)
                 if has_plane else jnp.int32(0)
             )
             if has_plane:
-                idxp = nz_plane(a_p != 0)
+                idxp, ofp = nz_plane(a_p != 0)
+                blk_oflow = blk_oflow | ofp
                 rp = (idxp // pg_w2).astype(jnp.int32) * 2
                 cp = (idxp % pg_w2).astype(jnp.int32) * 2
                 ivp = inv_p.reshape(-1)[idxp]
             if has_band:
                 bm = a_b[: out_h - row_lo, :out_w] != 0
                 cntb = jnp.sum(bm, dtype=jnp.int32)
-                idxb = nz_band(bm)
+                idxb, ofb = nz_band(bm)
+                blk_oflow = blk_oflow | ofb
                 rb = row_lo + (idxb // out_w).astype(jnp.int32)
                 cb = (idxb % out_w).astype(jnp.int32)
                 ivb = inv_b[: out_h - row_lo, :out_w].reshape(-1)[idxb]
@@ -637,7 +654,7 @@ class FusedEngine:
             r = jnp.where(live, r, 0)
             c = jnp.where(live, c, 0)
             idx = r * out_w + c
-            return _run_tail(sum2d, tilt2d, iv, idx, r, c, cnt)
+            return _run_tail(sum2d, tilt2d, iv, idx, r, c, cnt, blk_oflow)
 
         if use_static_front:
 
@@ -677,6 +694,22 @@ class FusedEngine:
             tail_jit = jax.jit(compact_collect_static)
         else:
             tail_jit = jax.jit(compact_collect)
+        # sub-programs of the tail, exposed for perf bisection (scripts
+        # under /tmp time these independently on the real chip)
+        self._parts = {
+            "nz_plane": nz_plane,
+            "nz_band": nz_band,
+            "nonzero_tail": nonzero_tail,
+            "tail_fn": tail_fn,
+            "ppatch": ppatch if (n_dense < n_stages and use_pallas) else None,
+            "tail_n": tail_n,
+            "geom": dict(
+                out_h=out_h, out_w=out_w,
+                row_lo=row_lo if use_static_front else 0,
+                pg=(pg_h2, pg_w2) if (use_static_front and has_plane)
+                else None,
+            ),
+        }
         return (
             (jax.jit(canvas),
              None if use_static_front else jax.jit(prep),
@@ -690,11 +723,13 @@ class FusedEngine:
             consts,
         )
 
-    # frames per vmapped head program (canvas/prep/front run F frames per
-    # dispatch): per-frame Python dispatch costs ~0.7 ms through the
-    # tunnel x ~8 chained programs — at 1 frame/program that alone caps
-    # throughput near 150 fps; vmapping divides it by F
-    BATCH_F = 8
+    # frames per vmapped head program (canvas/prep/front run F frames
+    # per dispatch). Historical: with the sub-ms XLA-front programs the
+    # ~0.7 ms per-dispatch tunnel cost capped throughput and vmapping
+    # divided it by F; with the 10-40 ms static-front programs the
+    # per-frame path is faster (see __init__) — instances default to 1
+    # via CCTPU_BATCH_F
+    BATCH_F = 1
 
     def batch_program(self, plan, max_det: int, F: int):
         """Vmapped-over-F variants of the head programs (canvas → front);
@@ -718,12 +753,16 @@ class FusedEngine:
                     if prep_plane is not None else None,
                     vm(prep_band, (0, 0, None))
                     if prep_band is not None else None,
-                    vm(stitch, (0,)) if stitch is not None else None,
+                    # stitch runs per frame, after the per-frame fronts
+                    stitch,
                 ),
-                [
-                    vm(f, (0, 0, 0) if use_static else (0, 0, 0, 0))
-                    for f in fronts
-                ],
+                # static-front kernels take HBM-resident (memory space
+                # ANY) operands, which Pallas cannot vmap — they run
+                # per frame (still chained async dispatches, no syncs);
+                # at >10 ms device time per front call the lost dispatch
+                # amortization is noise
+                fronts if use_static else [vm(f, (0, 0, 0, 0))
+                                           for f in fronts],
                 tail,
                 consts,
             )
@@ -744,19 +783,20 @@ class FusedEngine:
                 a_p, inv_p = prep_plane(planes[0], planes[1])
             if prep_band is not None:
                 a_b, inv_b = prep_band(sum_b, sq_b, tab)
-            state = (a_p, inv_p, a_b, inv_b)
-            psum = planes[0] if planes is not None else None
-            for f in fronts:
-                state = f(sum_b, psum, state)
+            state_b = (a_p, inv_p, a_b, inv_b)
             pick = jax.tree_util.tree_map
-            if stitch is None:
-                return [
-                    tail(sum_b[i], tilt_b[i],
-                         pick(lambda x, i=i: x[i], state))
-                    for i in range(F)
-                ]
-            alive_b = stitch(state)
-            return [tail(alive_b[i]) for i in range(F)]
+            outs = []
+            for i in range(F):
+                # fronts are per-frame (pallas ANY operands don't vmap)
+                state = pick(lambda x, i=i: x[i], state_b)
+                psum = planes[0][i] if planes is not None else None
+                for f in fronts:
+                    state = f(sum_b[i], psum, state)
+                if stitch is None:
+                    outs.append(tail(sum_b[i], tilt_b[i], state))
+                else:
+                    outs.append(tail(stitch(state)))
+            return outs
         inv_nf, alive_b = prep(sum_b, sq_b, tilt_b, tab)
         for f in fronts:
             alive_b = f(sum_b, tilt_b, inv_nf, alive_b)

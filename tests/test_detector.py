@@ -632,3 +632,57 @@ def test_fused_engine_builds_at_geometry(wh):
     assert prep_plane is not None or prep_band is not None
     n_stages = len(packed.stages)
     assert (stitch is None) == (eng.n_dense < n_stages)
+
+
+def test_block_nonzero_matches_full():
+    """make_block_nonzero_fn (OR-reduced 128-lane blocks + one small 1-D
+    sort) returns exactly make_nonzero_fn's ascending zero-padded index
+    list at every sparsity, and flags live-block overflow."""
+    from cascadeclassifier_tpu.detect.compact import (
+        make_block_nonzero_fn,
+        make_nonzero_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    for (rows, cols, dens) in [
+        (64, 200, 0.002), (37, 333, 0.05), (128, 128, 0.0),
+        (90, 500, 0.3),
+    ]:
+        mask = rng.random((rows, cols)) < dens
+        n_max = 1 << 12
+        want = np.asarray(make_nonzero_fn(rows, cols, n_max)(mask))
+        got, oflow = make_block_nonzero_fn(rows, cols, n_max, kb=1 << 10)(
+            mask
+        )
+        assert not bool(oflow)
+        np.testing.assert_array_equal(np.asarray(got), want)
+    # overflow: more live blocks than kb
+    mask = np.ones((64, 256), bool)
+    _, oflow = make_block_nonzero_fn(64, 256, 1 << 8, kb=16)(mask)
+    assert bool(oflow)
+
+
+def test_fused_split_tail_parity():
+    """Hybrid static-front + split-tail path (survivors extracted
+    straight from the plane/band masks via the block nonzero) matches
+    the XLA engine exactly. STATIC_FRONT_TREES is lowered so the 6-stage
+    cascade cuts over to the MXU tail after ~2 stages."""
+    import dataclasses
+
+    from cascadeclassifier_tpu.detect.engine import FusedEngine
+
+    m = read_cascade_xml(HAAR_ALT)
+    m6 = dataclasses.replace(m, stages=list(m.stages[:6]))
+    img = face_blob_image(240, 180, n=4, seed=7)
+    fus = TPUDetector(m6, exact=False, engine="fused",
+                      pallas_interpret=True)
+    old = FusedEngine.STATIC_FRONT_TREES
+    FusedEngine.STATIC_FRONT_TREES = 30
+    try:
+        got = sorted(map(tuple, fus.detect_multi_scale(img, 1.2, 0)))
+    finally:
+        FusedEngine.STATIC_FRONT_TREES = old
+    assert fus._fused.n_dense < len(m6.stages)  # split tail engaged
+    ref = TPUDetector(m6, exact=False, engine="xla")
+    want = sorted(map(tuple, ref.detect_multi_scale(img, 1.2, 0)))
+    assert got == want and len(got) > 0
