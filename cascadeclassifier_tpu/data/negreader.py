@@ -175,10 +175,45 @@ class NegReader:
         return self.img, np.asarray(pos, np.int32).reshape(-1, 2)
 
     def skip(self, k: int) -> bool:
-        """Advance the schedule by k windows (no cropping)."""
+        """Advance the schedule by k windows (no cropping).
+
+        Equivalent to k repeated ``_advance()`` calls but O(levels)
+        instead of O(k): positions within the current level come from
+        the same grid arithmetic as level_positions, and level/image
+        crossings reuse ``_advance`` from the level's last window (late-
+        stage mining skips millions of windows per stage — the per-
+        window Python walk was the round-3 mining wall)."""
         if self.img is None and not self._next_img():
             return False
-        for _ in range(k):
+        ww, wh = self.win_w, self.win_h
+        while k > 0:
+            H, W = self.img.shape
+            sx, sy = int(STEP_FACTOR * ww), int(STEP_FACTOR * wh)
+            px0 = self.offset[0]
+            xs = [px0]
+            while int(xs[-1] + (1.0 + STEP_FACTOR) * ww) < W:
+                xs.append(xs[-1] + sx)
+            ys = [self.point[1]]
+            while int(ys[-1] + (1.0 + STEP_FACTOR) * wh) < H:
+                ys.append(ys[-1] + sy)
+            first = [x for x in xs if x >= self.point[0]]
+            n_rem = len(first) + (len(ys) - 1) * len(xs)
+            if n_rem == 0:  # defensive: no window at point
+                if not self._advance():
+                    return False
+                k -= 1
+                continue
+            if k < n_rem:
+                if k < len(first):
+                    self.point = (first[k], ys[0])
+                else:
+                    j = k - len(first)
+                    self.point = (xs[j % len(xs)], ys[1 + j // len(xs)])
+                return True
+            # cross the level: stand on its last window, advance once
+            last_x = xs[-1] if len(ys) > 1 else first[-1]
+            self.point = (last_x, ys[-1])
+            k -= n_rem
             if not self._advance():
                 return False
         return True

@@ -133,16 +133,33 @@ class CascadePredictor:
         )
 
     def extract_level(self, img: np.ndarray, positions: np.ndarray,
-                      ww: int, wh: int):
+                      ww: int, wh: int, cache_key=None):
         """One mining level: upload the scaled background once, gather
         its (bucket-padded) window grid on device. Async dispatch — no
-        sync; pair with predict_parts."""
+        sync; pair with predict_parts.
+
+        cache_key: optional hashable identity of the scaled background
+        (e.g. (bg index, scale)): the mining schedule revisits the same
+        (image, scale) levels every round-robin pass, so the device
+        upload is cached — late-stage mining otherwise re-ships the
+        same few MB thousands of times through the host link."""
         H, W = img.shape
-        img_pad = img
-        Hp, Wp = -(-H // 128) * 128, -(-W // 128) * 128
-        if (Hp, Wp) != (H, W):
-            img_pad = np.zeros((Hp, Wp), np.uint8)
-            img_pad[:H, :W] = img
+        if not hasattr(self, "_img_cache"):
+            self._img_cache = {}
+        img_dev = (
+            self._img_cache.get(cache_key) if cache_key is not None else None
+        )
+        if img_dev is None:
+            img_pad = img
+            Hp, Wp = -(-H // 128) * 128, -(-W // 128) * 128
+            if (Hp, Wp) != (H, W):
+                img_pad = np.zeros((Hp, Wp), np.uint8)
+                img_pad[:H, :W] = img
+            img_dev = jnp.asarray(img_pad)
+            if cache_key is not None:
+                if len(self._img_cache) > 512:
+                    self._img_cache.clear()
+                self._img_cache[cache_key] = img_dev
         n = len(positions)
         # power-of-2 buckets bound the number of compiled gather
         # programs to ~log2(max level size) per canvas bucket
@@ -152,7 +169,7 @@ class CascadePredictor:
         pxs[:n] = positions[:, 0]
         pys[:n] = positions[:, 1]
         return _extract_windows(
-            jnp.asarray(img_pad), jnp.asarray(pxs), jnp.asarray(pys), wh, ww
+            img_dev, jnp.asarray(pxs), jnp.asarray(pys), wh, ww
         )
 
     def predict_parts(self, parts, counts):
@@ -185,11 +202,14 @@ class CascadePredictor:
         m = samples.shape[0]
         if not self.stages or m == 0:
             return np.ones(m, bool)
-        # pad to a bucketed batch so mining reuses compiled programs
+        # pad to a bucketed batch so mining reuses compiled programs;
+        # device batches pad on device (np.concatenate on a jax array
+        # silently round-trips the whole window batch through the host)
         m_pad = max(256, -(-m // 256) * 256)
         if m_pad != m:
-            samples = np.concatenate(
-                [samples, np.zeros((m_pad - m,) + samples.shape[1:],
+            xp = jnp if isinstance(samples, jax.Array) else np
+            samples = xp.concatenate(
+                [samples, xp.zeros((m_pad - m,) + samples.shape[1:],
                                    samples.dtype)]
             )
         used = self._used_vars()

@@ -158,7 +158,10 @@ class CascadeTrainer:
                     break
                 img, pos = lvl
                 lvls.append((img, pos))
-                parts.append(pred.extract_level(img, pos, ww, wh))
+                parts.append(pred.extract_level(
+                    img, pos, ww, wh,
+                    cache_key=(neg.last, float(neg.scale)),
+                ))
                 counts.append(len(pos))
                 total += len(pos)
                 if not neg.skip(len(pos)):
@@ -170,24 +173,42 @@ class CascadeTrainer:
             fini = False
             li_stop = j_stop = 0
             for li, ((img, pos), ok) in enumerate(zip(lvls, oks)):
-                for i in range(len(pos)):
-                    if (
-                        consumed_counter[0] != 0
-                        and (len(kept) + 1) / consumed_counter[0]
+                # vectorized replay of the reference's per-window
+                # consume/acceptance walk (cascadeclassifier.cpp:334-357):
+                # the per-window Python loop costs O(consumed) — millions
+                # of iterations per stage once acceptance < 1e-4 — while
+                # only the (few) accepted windows need Python at all.
+                n = len(pos)
+                okb = np.asarray(ok[:n], dtype=bool)
+                kept_excl = len(kept) + np.concatenate(
+                    ([0], np.cumsum(okb[:-1], dtype=np.int64))
+                ) if n else np.zeros(0, np.int64)
+                consumed_b = consumed_counter[0] + np.arange(
+                    n, dtype=np.int64
+                )
+                with np.errstate(divide="ignore"):
+                    ratio_stop = (consumed_b != 0) & (
+                        (kept_excl + 1)
+                        / np.maximum(consumed_b, 1).astype(np.float64)
                         <= min_acceptance
-                    ):
-                        stop, fini = True, True
-                        li_stop, j_stop = li, i
-                        break
-                    consumed_counter[0] += 1
-                    if ok[i]:
-                        px, py = int(pos[i, 0]), int(pos[i, 1])
-                        kept.append(img[py : py + wh, px : px + ww].copy())
-                        if len(kept) >= count:
-                            fini = True
-                            li_stop, j_stop = li, i + 1
-                            break
+                    )
+                full_stop = okb & (kept_excl + 1 >= count)
+                s = int(np.argmax(ratio_stop)) if ratio_stop.any() else n
+                f = int(np.argmax(full_stop)) if full_stop.any() else n
+                if s <= f and s < n:  # ratio stop BEFORE consuming s
+                    upper, j_stop = s, s
+                    stop = fini = True
+                elif f < n:  # kept reaches count AT window f (consumed)
+                    upper, j_stop = f + 1, f + 1
+                    fini = True
+                else:
+                    upper = n
+                consumed_counter[0] += upper
+                for i in np.nonzero(okb[:upper])[0]:
+                    px, py = int(pos[i, 0]), int(pos[i, 1])
+                    kept.append(img[py : py + wh, px : px + ww].copy())
                 if fini:
+                    li_stop = li
                     break
             if fini:
                 # rewind the reader to the exact window after the stop

@@ -185,3 +185,22 @@ def test_negreader_state_snapshot_rewind(tmp_path):
     r.skip(13)
     b = r.take_batch(47)
     np.testing.assert_array_equal(a[13:], b)
+
+
+def test_negreader_skip_equals_repeated_advance(tmp_path):
+    """Vectorized skip(k) must equal k repeated _advance() calls across
+    window, row, level and image boundaries for every k."""
+    bg = _synth_bg(tmp_path)
+    ref = NegReader(bg, 24, 24)
+    ref.get()  # position on the first window
+    fast = NegReader(bg, 24, 24)
+    fast.get()
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        k = int(rng.integers(1, 900))
+        ok_ref = all(ref._advance() for _ in range(k))
+        ok_fast = fast.skip(k)
+        assert ok_ref == ok_fast
+        assert ref.point == fast.point and ref.last == fast.last
+        assert ref.scale == fast.scale and ref.offset == fast.offset
+        assert ref.img.shape == fast.img.shape
