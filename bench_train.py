@@ -109,6 +109,12 @@ def main():
     dt = time.time() - t0
     stages_done = len(tr.stages)
 
+    from cascadeclassifier_tpu.utils.profiling import timings
+
+    for name, ts in sorted(timings().items(), key=lambda kv: -sum(kv[1])):
+        print(f"# phase {name}: {sum(ts):8.1f}s over {len(ts)} calls",
+              file=sys.stderr)
+
     target_s = 600.0
     print(
         json.dumps(

@@ -174,27 +174,48 @@ class CascadePredictor:
 
     def predict_parts(self, parts, counts):
         """parts: device window stacks from extract_level (bucket-padded);
-        counts: their true window counts. One concatenated predict, one
-        fetch; returns per-part (counts[i],) bool arrays."""
+        counts: their true window counts. Per-part bucket-shaped predicts
+        + ONE packed fetch; returns per-part (counts[i],) bool arrays.
+
+        Every program shape here is bucket-bounded: an earlier design
+        concatenated the parts TRIMMED to their true counts, so each
+        superbatch's unique size combination recompiled the concat+pad
+        program on the remote XLA service (~2.5 s per 16K-window
+        superbatch — the dominant mining cost at late stages)."""
         if not self.stages:
             return [np.ones(c, bool) for c in counts]
-        # slice each bucket-padded part to its true count before the
-        # concat: tiny levels (a handful of windows padded to 256) would
-        # otherwise inflate the predict batch by an order of magnitude
-        trimmed = [p[:c] for p, c in zip(parts, counts)]
-        x = trimmed[0] if len(trimmed) == 1 else jnp.concatenate(trimmed, 0)
-        m = int(x.shape[0])
-        m_pad = -(-m // 4096) * 4096
-        if m_pad != m:
-            x = jnp.concatenate(
-                [x, jnp.zeros((m_pad - m,) + x.shape[1:], x.dtype)], axis=0
-            )
-        ok = self.predict_batch(x)
-        out, off = [], 0
-        for c in counts:
-            out.append(np.asarray(ok[off : off + c]))
-            off += c
-        return out
+        oks = [self._predict_device(p) for p in parts]  # bucket shapes
+        maxb = max(int(o.shape[0]) for o in oks)
+        padded = [
+            o if int(o.shape[0]) == maxb
+            else jnp.pad(o, (0, maxb - int(o.shape[0])))
+            for o in oks
+        ]
+        n_parts = len(padded)
+        while len(padded) % 8:  # bucket the stack arity too
+            padded.append(jnp.zeros(maxb, bool))
+        flat = np.asarray(jnp.stack(padded))  # one fetch
+        return [flat[i, :c] for i, c in zip(range(n_parts), counts)]
+
+    def _predict_device(self, samples):
+        """(m_bucket, h, w) device uint8 → (m_bucket,) device bool (padding
+        windows evaluate too; callers slice by true count)."""
+        used = self._used_vars()
+        k = len(used)
+        k_pad = max(16, -(-k // 16) * 16)
+        used_padded = used + [used[0]] * (k_pad - k)
+        ev = self._make_ev()
+        ev.set_samples(samples)
+        var_pos = {v: i for i, v in enumerate(used)}
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        tables = self._stump_tables(var_pos, ev.maxCatCount > 0)
+        if tables is None:
+            return jnp.asarray(self.predict_batch(np.asarray(samples)))
+        vals_dev = ev.values_for_vars(used_padded)
+        return self._device_predict(
+            vals_dev[:k], tables, int(samples.shape[0])
+        )
 
     def predict_batch(self, samples: np.ndarray) -> np.ndarray:
         """samples: (m, h, w) uint8 → (m,) bool — True when every stage

@@ -147,29 +147,33 @@ class CascadeTrainer:
         pred = self._predictor()
         stop = exhausted = False
         ww, wh = self.win_w, self.win_h
+        from cascadeclassifier_tpu.utils.profiling import timed
+
         while len(kept) < count and not stop and not exhausted:
             snaps, lvls, parts, counts = [], [], [], []
             total = 0
-            while total < self.mining_batch:
-                snaps.append(neg.state())
-                lvl = neg.level_positions()
-                if lvl is None:
-                    exhausted = True
-                    break
-                img, pos = lvl
-                lvls.append((img, pos))
-                parts.append(pred.extract_level(
-                    img, pos, ww, wh,
-                    cache_key=(neg.last, float(neg.scale)),
-                ))
-                counts.append(len(pos))
-                total += len(pos)
-                if not neg.skip(len(pos)):
-                    exhausted = True
-                    break
+            with timed("mine_extract"):
+                while total < self.mining_batch:
+                    snaps.append(neg.state())
+                    lvl = neg.level_positions()
+                    if lvl is None:
+                        exhausted = True
+                        break
+                    img, pos = lvl
+                    lvls.append((img, pos))
+                    parts.append(pred.extract_level(
+                        img, pos, ww, wh,
+                        cache_key=(neg.last, float(neg.scale)),
+                    ))
+                    counts.append(len(pos))
+                    total += len(pos)
+                    if not neg.skip(len(pos)):
+                        exhausted = True
+                        break
             if not lvls:
                 break
-            oks = pred.predict_parts(parts, counts)
+            with timed("mine_predict"):
+                oks = pred.predict_parts(parts, counts)
             fini = False
             li_stop = j_stop = 0
             for li, ((img, pos), ok) in enumerate(zip(lvls, oks)):
