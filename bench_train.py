@@ -99,6 +99,8 @@ def main():
         win_w=24, win_h=24, boost=BoostParams(),
         precalc_val_mb=4096.0, precalc_idx_mb=8192.0,
         mesh=mesh,
+        mining_batch=int(os.environ.get("BENCH_TRAIN_MINE_BATCH",
+                                        str(1 << 18))),
     )
     t0 = time.time()
     model = tr.train(

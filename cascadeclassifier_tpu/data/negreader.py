@@ -168,11 +168,15 @@ class NegReader:
         ys = [self.point[1]]
         while int(ys[-1] + (1.0 + STEP_FACTOR) * wh) < H:
             ys.append(ys[-1] + sy)
-        first = [x for x in xs if x >= self.point[0]]
-        pos = [(x, ys[0]) for x in first]
-        for y in ys[1:]:
-            pos += [(x, y) for x in xs]
-        return self.img, np.asarray(pos, np.int32).reshape(-1, 2)
+        xs = np.asarray(xs, np.int32)
+        ys = np.asarray(ys, np.int32)
+        first = xs[xs >= self.point[0]]
+        gx, gy = np.meshgrid(xs, ys[1:])
+        pos = np.concatenate([
+            np.stack([first, np.full(len(first), ys[0], np.int32)], 1),
+            np.stack([gx.ravel(), gy.ravel()], 1),
+        ])
+        return self.img, pos.reshape(-1, 2)
 
     def skip(self, k: int) -> bool:
         """Advance the schedule by k windows (no cropping).

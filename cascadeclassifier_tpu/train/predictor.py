@@ -34,6 +34,15 @@ def _extract_windows(img_pad, pxs, pys, wh, ww):
     return img_pad[rows[:, :, None], cols[:, None, :]]
 
 
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def _extract_windows_multi(img_stack, ids, pxs, pys, wh, ww):
+    """Multi-level window gather: (L, H, W) stacked level images +
+    per-window level ids → (n_pad, wh, ww) uint8 windows."""
+    rows = pys[:, None] + jnp.arange(wh, dtype=jnp.int32)
+    cols = pxs[:, None] + jnp.arange(ww, dtype=jnp.int32)
+    return img_stack[ids[:, None, None], rows[:, :, None], cols[:, None, :]]
+
+
 class CascadePredictor:
     """Predicts accept/reject of the current (partial) cascade on batches."""
 
@@ -123,14 +132,17 @@ class CascadePredictor:
                     return ok
 
             self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](
-            vals_dev,
-            jnp.asarray(idxs),
-            jnp.asarray(thrs),
-            jnp.asarray(lls),
-            jnp.asarray(rrs),
-            None if subs is None else jnp.asarray(subs),
-        )
+        # device-resident table cache: re-uploading the 5 small arrays on
+        # every call costs a host round trip each through the tunnel
+        tkey = ("tables", len(self.stages), len(idxs))
+        if tkey not in self._jit_cache:
+            self._jit_cache[tkey] = (
+                jnp.asarray(idxs), jnp.asarray(thrs), jnp.asarray(lls),
+                jnp.asarray(rrs),
+                None if subs is None else jnp.asarray(subs),
+            )
+        ti, tt, tl, tr_, ts = self._jit_cache[tkey]
+        return self._jit_cache[key](vals_dev, ti, tt, tl, tr_, ts)
 
     def extract_level(self, img: np.ndarray, positions: np.ndarray,
                       ww: int, wh: int, cache_key=None):
@@ -172,6 +184,70 @@ class CascadePredictor:
             img_dev, jnp.asarray(pxs), jnp.asarray(pys), wh, ww
         )
 
+    def predict_levels(self, levels, ww: int, wh: int):
+        """Whole-superbatch mining predict: ONE image stack, ONE window
+        gather, ONE predict chain, ONE fetch.
+
+        levels: list of (img, positions, cache_key) mining levels.
+        Returns per-level (len(positions),) bool accept masks.
+
+        Per-level extraction dispatches (~1.5 ms each through the host
+        link) and per-superbatch fixed predict latency (~250 ms) made
+        mining cost ~10-20 µs per candidate window; stacking every
+        level image of the superbatch into one (L, H, W) device array
+        amortizes all of it to one dispatch chain (~0.6 µs/window) —
+        the late-stage hard-negative wall consumes 10^8-10^9 windows
+        (fillPassedSamples, cascadeclassifier.cpp:329-357)."""
+        if not hasattr(self, "_img_cache"):
+            self._img_cache = {}
+        # common padded geometry (levels are ≤ the source image)
+        Hp = max(-(-lv[0].shape[0] // 128) * 128 for lv in levels)
+        Wp = max(-(-lv[0].shape[1] // 128) * 128 for lv in levels)
+        imgs = []
+        for img, _pos, key in levels:
+            ck = (key, Hp, Wp)
+            dev = self._img_cache.get(ck)
+            if dev is None:
+                pad = np.zeros((Hp, Wp), np.uint8)
+                pad[: img.shape[0], : img.shape[1]] = img
+                dev = jnp.asarray(pad)
+                if len(self._img_cache) > 512:
+                    self._img_cache.clear()
+                self._img_cache[ck] = dev
+            imgs.append(dev)
+        L = len(imgs)
+        L_pad = 1 << int(np.ceil(np.log2(max(L, 1))))
+        zk = ("zero", Hp, Wp)
+        if L_pad != L and zk not in self._img_cache:
+            self._img_cache[zk] = jnp.zeros((Hp, Wp), np.uint8)
+        imgs += [self._img_cache[zk]] * (L_pad - L)
+        stack = jnp.stack(imgs)  # (L_pad, Hp, Wp); keyed (L_pad, Hp, Wp)
+        counts = [len(lv[1]) for lv in levels]
+        n = int(np.sum(counts))
+        n_pad = max(256, 1 << int(np.ceil(np.log2(max(n, 2)))))
+        pxs = np.zeros(n_pad, np.int32)
+        pys = np.zeros(n_pad, np.int32)
+        ids = np.zeros(n_pad, np.int32)
+        off = 0
+        for li, (_img, pos, _key) in enumerate(levels):
+            c = len(pos)
+            pxs[off : off + c] = pos[:, 0]
+            pys[off : off + c] = pos[:, 1]
+            ids[off : off + c] = li
+            off += c
+        win = _extract_windows_multi(
+            stack, jnp.asarray(ids), jnp.asarray(pxs), jnp.asarray(pys),
+            wh, ww,
+        )
+        if not self.stages:
+            return [np.ones(c, bool) for c in counts]
+        ok = np.asarray(self._predict_device(win))  # one fetch
+        out, off = [], 0
+        for c in counts:
+            out.append(ok[off : off + c])
+            off += c
+        return out
+
     def predict_parts(self, parts, counts):
         """parts: device window stacks from extract_level (bucket-padded);
         counts: their true window counts. Per-part bucket-shaped predicts
@@ -184,18 +260,35 @@ class CascadePredictor:
         superbatch — the dominant mining cost at late stages)."""
         if not self.stages:
             return [np.ones(c, bool) for c in counts]
-        oks = [self._predict_device(p) for p in parts]  # bucket shapes
-        maxb = max(int(o.shape[0]) for o in oks)
-        padded = [
-            o if int(o.shape[0]) == maxb
-            else jnp.pad(o, (0, maxb - int(o.shape[0])))
-            for o in oks
-        ]
-        n_parts = len(padded)
-        while len(padded) % 8:  # bucket the stack arity too
-            padded.append(jnp.zeros(maxb, bool))
-        flat = np.asarray(jnp.stack(padded))  # one fetch
-        return [flat[i, :c] for i, c in zip(range(n_parts), counts)]
+        # group parts by bucket shape and predict each group in ONE
+        # dispatch chain: per-part predicts cost ~30 ms each in pure
+        # dispatch/upload latency through the host link (~2.3 s per
+        # 64-part superbatch); grouped, a superbatch is ~4 chains
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i, p in enumerate(parts):
+            groups[int(p.shape[0])].append(i)
+        if not hasattr(self, "_zero_parts"):
+            self._zero_parts = {}
+        ok_rows = [None] * len(parts)
+        for n_pad, gidx in groups.items():
+            g = len(gidx)
+            g_pad = 1 << int(np.ceil(np.log2(max(g, 1))))
+            shape = tuple(parts[gidx[0]].shape)
+            if g_pad != g and shape not in self._zero_parts:
+                self._zero_parts[shape] = jnp.zeros(
+                    shape, parts[gidx[0]].dtype
+                )
+            plist = [parts[i] for i in gidx]
+            plist += [self._zero_parts[shape]] * (g_pad - g)
+            x = jnp.concatenate(plist, axis=0)  # (g_pad*n_pad, h, w)
+            ok = np.asarray(  # one fetch per shape group (~4/superbatch)
+                self._predict_device(x)
+            ).reshape(g_pad, n_pad)
+            for j, i in enumerate(gidx):
+                ok_rows[i] = ok[j]
+        return [ok_rows[i][:c] for i, c in enumerate(counts)]
 
     def _predict_device(self, samples):
         """(m_bucket, h, w) device uint8 → (m_bucket,) device bool (padding

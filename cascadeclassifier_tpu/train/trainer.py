@@ -78,7 +78,7 @@ class CascadeTrainer:
         win_h: int = 24,
         haar_mode="BASIC",
         boost: BoostParams | None = None,
-        mining_batch: int = 16384,
+        mining_batch: int = 131072,
         precalc_val_mb: float = 1024.0,
         precalc_idx_mb: float = 1024.0,
         mesh=None,
@@ -150,9 +150,9 @@ class CascadeTrainer:
         from cascadeclassifier_tpu.utils.profiling import timed
 
         while len(kept) < count and not stop and not exhausted:
-            snaps, lvls, parts, counts = [], [], [], []
+            snaps, lvls = [], []
             total = 0
-            with timed("mine_extract"):
+            with timed("mine_gather"):
                 while total < self.mining_batch:
                     snaps.append(neg.state())
                     lvl = neg.level_positions()
@@ -160,12 +160,9 @@ class CascadeTrainer:
                         exhausted = True
                         break
                     img, pos = lvl
-                    lvls.append((img, pos))
-                    parts.append(pred.extract_level(
-                        img, pos, ww, wh,
-                        cache_key=(neg.last, float(neg.scale)),
-                    ))
-                    counts.append(len(pos))
+                    lvls.append(
+                        (img, pos, (neg.last, float(neg.scale)))
+                    )
                     total += len(pos)
                     if not neg.skip(len(pos)):
                         exhausted = True
@@ -173,10 +170,10 @@ class CascadeTrainer:
             if not lvls:
                 break
             with timed("mine_predict"):
-                oks = pred.predict_parts(parts, counts)
+                oks = pred.predict_levels(lvls, ww, wh)
             fini = False
             li_stop = j_stop = 0
-            for li, ((img, pos), ok) in enumerate(zip(lvls, oks)):
+            for li, ((img, pos, _key), ok) in enumerate(zip(lvls, oks)):
                 # vectorized replay of the reference's per-window
                 # consume/acceptance walk (cascadeclassifier.cpp:334-357):
                 # the per-window Python loop costs O(consumed) — millions
