@@ -203,25 +203,40 @@ class CascadePredictor:
         # common padded geometry (levels are ≤ the source image)
         Hp = max(-(-lv[0].shape[0] // 128) * 128 for lv in levels)
         Wp = max(-(-lv[0].shape[1] // 128) * 128 for lv in levels)
-        imgs = []
+        # deduplicate: the round-robin schedule revisits the same few
+        # dozen (bg, scale) levels every pass, so a superbatch of 1000+
+        # levels holds ~72 DISTINCT images — stacking per level would
+        # ship a 1000-operand stack program every superbatch. Window ids
+        # index the unique stack, and the stacked device array itself is
+        # cached on its key tuple (stable after the first full pass).
+        first = {}
         for img, _pos, key in levels:
+            if key not in first:
+                first[key] = img
+        uniq = sorted(first.items())  # key order → stable stack cache key
+        uniq = [(img, key) for key, img in uniq]
+        uid = {key: i for i, (_img, key) in enumerate(uniq)}
+        for img, key in uniq:
             ck = (key, Hp, Wp)
-            dev = self._img_cache.get(ck)
-            if dev is None:
+            if ck not in self._img_cache:
                 pad = np.zeros((Hp, Wp), np.uint8)
                 pad[: img.shape[0], : img.shape[1]] = img
-                dev = jnp.asarray(pad)
                 if len(self._img_cache) > 512:
                     self._img_cache.clear()
-                self._img_cache[ck] = dev
-            imgs.append(dev)
-        L = len(imgs)
+                self._img_cache[ck] = jnp.asarray(pad)
+        L = len(uniq)
         L_pad = 1 << int(np.ceil(np.log2(max(L, 1))))
         zk = ("zero", Hp, Wp)
         if L_pad != L and zk not in self._img_cache:
             self._img_cache[zk] = jnp.zeros((Hp, Wp), np.uint8)
-        imgs += [self._img_cache[zk]] * (L_pad - L)
-        stack = jnp.stack(imgs)  # (L_pad, Hp, Wp); keyed (L_pad, Hp, Wp)
+        skey = ("stack", tuple(k for _i, k in uniq), Hp, Wp)
+        stack = self._img_cache.get(skey)
+        if stack is None:
+            stack = jnp.stack(
+                [self._img_cache[(k, Hp, Wp)] for _i, k in uniq]
+                + [self._img_cache[zk]] * (L_pad - L)
+            )
+            self._img_cache[skey] = stack
         counts = [len(lv[1]) for lv in levels]
         n = int(np.sum(counts))
         n_pad = max(256, 1 << int(np.ceil(np.log2(max(n, 2)))))
@@ -229,11 +244,11 @@ class CascadePredictor:
         pys = np.zeros(n_pad, np.int32)
         ids = np.zeros(n_pad, np.int32)
         off = 0
-        for li, (_img, pos, _key) in enumerate(levels):
+        for li, (_img, pos, key) in enumerate(levels):
             c = len(pos)
             pxs[off : off + c] = pos[:, 0]
             pys[off : off + c] = pos[:, 1]
-            ids[off : off + c] = li
+            ids[off : off + c] = uid[key]
             off += c
         win = _extract_windows_multi(
             stack, jnp.asarray(ids), jnp.asarray(pxs), jnp.asarray(pys),
