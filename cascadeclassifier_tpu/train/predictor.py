@@ -46,6 +46,9 @@ def _extract_windows_multi(img_stack, ids, pxs, pys, wh, ww):
 class CascadePredictor:
     """Predicts accept/reject of the current (partial) cascade on batches."""
 
+    # device image-cache entries (levels + stacks) before a full evict
+    IMG_CACHE_CAP = 2048
+
     def __init__(self, evaluator_factory, stages=None):
         """evaluator_factory: () → fresh train evaluator over the full
         catalog (set_samples + values_for the used variables)."""
@@ -200,6 +203,10 @@ class CascadePredictor:
         (fillPassedSamples, cascadeclassifier.cpp:329-357)."""
         if not hasattr(self, "_img_cache"):
             self._img_cache = {}
+        # evict BEFORE populating: clearing inside the populate loop
+        # would drop this superbatch's own earlier entries
+        if len(self._img_cache) > self.IMG_CACHE_CAP:
+            self._img_cache.clear()
         # common padded geometry (levels are ≤ the source image)
         Hp = max(-(-lv[0].shape[0] // 128) * 128 for lv in levels)
         Wp = max(-(-lv[0].shape[1] // 128) * 128 for lv in levels)
@@ -221,8 +228,6 @@ class CascadePredictor:
             if ck not in self._img_cache:
                 pad = np.zeros((Hp, Wp), np.uint8)
                 pad[: img.shape[0], : img.shape[1]] = img
-                if len(self._img_cache) > 512:
-                    self._img_cache.clear()
                 self._img_cache[ck] = jnp.asarray(pad)
         L = len(uniq)
         L_pad = 1 << int(np.ceil(np.log2(max(L, 1))))

@@ -568,3 +568,26 @@ def test_fill_negatives_dense_matches_window_loop(tmp_path):
     assert cc[0] == cc2
     np.testing.assert_array_equal(kept, np.stack(kept2))
     np.testing.assert_array_equal(after, after2)
+
+
+def test_predict_levels_cache_evict_midbatch():
+    """predict_levels must survive an image-cache eviction between
+    superbatches AND never evict its own current superbatch's entries
+    (regression: a mid-populate clear dropped freshly added levels)."""
+    import numpy as np
+
+    from cascadeclassifier_tpu.train.predictor import CascadePredictor
+    from cascadeclassifier_tpu.train.trainer import make_evaluator
+
+    pred = CascadePredictor(lambda: make_evaluator(0, 8, 8), [])
+    pred.IMG_CACHE_CAP = 3  # force eviction every call
+    rng = np.random.default_rng(0)
+    for rep in range(3):
+        levels = []
+        for i in range(6):  # more uniques than the cap
+            img = rng.integers(0, 256, (32, 40), np.uint8)
+            pos = np.array([[0, 0], [8, 4], [16, 8]], np.int32)
+            levels.append((img, pos, (rep, i)))
+        oks = pred.predict_levels(levels, 8, 8)
+        assert len(oks) == 6 and all(len(o) == 3 for o in oks)
+        assert all(o.all() for o in oks)  # no stages -> all accepted
