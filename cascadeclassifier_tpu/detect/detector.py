@@ -40,7 +40,7 @@ from cascadeclassifier_tpu.detect.dense import (
     dense_variance_gate,
     dense_walk_visited,
 )
-from cascadeclassifier_tpu.detect.grouping import group_rectangles
+from cascadeclassifier_tpu.detect.grouping import clip_rects, group_rectangles
 from cascadeclassifier_tpu.detect.pyramid import PyramidPlan, build_plan
 from cascadeclassifier_tpu.models.model import (
     FEATURE_HAAR,
@@ -650,7 +650,9 @@ class TPUDetector:
             )
         sel = idx[ok]
         rects = self._positions_to_rects(plan, sel)
-        return group_rectangles(rects, min_neighbors)
+        return clip_rects(
+            group_rectangles(rects, min_neighbors), plan.img_w, plan.img_h
+        )
 
     def detect_multi_scale_batch(
         self,
@@ -825,7 +827,13 @@ class TPUDetector:
                 )
                 continue
             rects = self._positions_to_rects(plan, sel)
-            results.append(group_rectangles(rects, min_neighbors))
+            results.append(
+                clip_rects(
+                    group_rectangles(rects, min_neighbors),
+                    plan.img_w,
+                    plan.img_h,
+                )
+            )
         return results
 
     def _positions_to_rects(self, plan: PyramidPlan, sel: np.ndarray):
@@ -845,7 +853,11 @@ class TPUDetector:
         f = plan.scales[s].astype(np.float32)
         x_img = np.rint(c.astype(np.float32) * f).astype(np.int32)
         y_img = np.rint(y.astype(np.float32) * f).astype(np.int32)
-        # the OpenCV runtime clips candidate rects to the image bounds
-        bw = np.minimum(plan.box_w[s], plan.img_w - x_img)
-        bh = np.minimum(plan.box_h[s], plan.img_h - y_img)
-        return np.stack([x_img, y_img, bw, bh], axis=1)
+        # UNCLIPPED: candidates at the coarsest level can overhang the
+        # image by a pixel (cvRound(pos·scale)); OpenCV groups the
+        # unclipped list and clips only the grouped output (clipObjects
+        # runs after groupRectangles) — clip_rects applies at the call
+        # sites, after grouping
+        return np.stack(
+            [x_img, y_img, plan.box_w[s], plan.box_h[s]], axis=1
+        )

@@ -21,6 +21,25 @@ def _cv_round(v):
     return int(np.rint(v))
 
 
+def clip_rects(rects, img_w: int, img_h: int):
+    """Clip rects to the image, dropping empty intersections.
+
+    Replicates OpenCV's clipObjects (cascadedetect.cpp), which
+    detectMultiScale applies AFTER groupRectangles — candidate windows at
+    the last pyramid level can overhang the image by a pixel (cvRound of
+    position × scale), and the overhanging height takes part in the
+    cluster average BEFORE the clip."""
+    rects = np.asarray(rects, np.int32).reshape(-1, 4)
+    if len(rects) == 0:
+        return rects
+    x = np.maximum(rects[:, 0], 0)
+    y = np.maximum(rects[:, 1], 0)
+    w = np.minimum(rects[:, 0] + rects[:, 2], img_w) - x
+    h = np.minimum(rects[:, 1] + rects[:, 3], img_h) - y
+    keep = (w > 0) & (h > 0)
+    return np.stack([x, y, w, h], axis=1)[keep]
+
+
 def _native_group(rects, group_threshold, eps):
     """Dispatch to the C++ grouping (csrc/) when available; None otherwise."""
     try:
@@ -112,8 +131,11 @@ def group_rectangles(rects, group_threshold: int, eps: float = 0.2):
     rweights = []
     for members in classes.values():
         cnt = len(members)
-        s = 1.0 / cnt
-        acc = rects[members].sum(axis=0)
+        # OpenCV averages with float s = 1.f/n and FLOAT products
+        # (cascadedetect.cpp groupRectangles) — replicate the
+        # single-precision arithmetic for byte parity
+        s = np.float32(1.0) / np.float32(cnt)
+        acc = rects[members].sum(axis=0).astype(np.float32)
         rrects.append(
             (
                 _cv_round(acc[0] * s),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from cascadeclassifier_tpu.detect.grouping import group_rectangles
+from cascadeclassifier_tpu.detect.grouping import clip_rects, group_rectangles
 from cascadeclassifier_tpu.detect.pyramid import build_plan
 from cascadeclassifier_tpu.models.model import FEATURE_HOG, CascadeModel
 from cascadeclassifier_tpu.ops.features import hog_catalog
@@ -100,8 +100,15 @@ class HOGDetector:
             for (gy, gx) in zip(yy[sel], xx[sel]):
                 x_img = int(np.rint(gx * fx))
                 y_img = int(np.rint(gy * fx))
-                bw = min(int(plan.box_w[s]), w - x_img)
-                bh = min(int(plan.box_h[s]), h - y_img)
-                rects.append((x_img, y_img, bw, bh))
-        return group_rectangles(np.array(rects, np.int64).reshape(-1, 4),
-                                min_neighbors)
+                rects.append(
+                    (x_img, y_img, int(plan.box_w[s]), int(plan.box_h[s]))
+                )
+        # group UNCLIPPED candidates, clip the grouped output — same
+        # order as detectMultiScale (groupRectangles then clipObjects)
+        return clip_rects(
+            group_rectangles(
+                np.array(rects, np.int64).reshape(-1, 4), min_neighbors
+            ),
+            w,
+            h,
+        )

@@ -257,11 +257,15 @@ extern "C" int cctpu_group_rectangles(const int32_t* rects_in, int n,
         cnt[c]++;
     }
     auto cvround = [](double v) { return (int)lrint(v); };
+    // OpenCV averages with float s = 1.f/n and FLOAT products
+    // (cascadedetect.cpp groupRectangles) — replicate the
+    // single-precision arithmetic for byte parity
     std::vector<int> rr(4 * (size_t)nclasses);
     for (int c = 0; c < nclasses; c++) {
-        double s = 1.0 / cnt[c];
+        float s = 1.0f / (float)cnt[c];
         for (int k = 0; k < 4; k++)
-            rr[4 * (size_t)c + k] = cvround(acc[4 * (size_t)c + k] * s);
+            rr[4 * (size_t)c + k] =
+                (int)lrintf((float)acc[4 * (size_t)c + k] * s);
     }
     int out = 0;
     for (int i = 0; i < nclasses; i++) {

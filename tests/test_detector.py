@@ -248,6 +248,34 @@ def test_min_size_filter(oracle_bin, tmp_path, haar8, det8, face_img):
     assert ours == ref
 
 
+def test_grouping_clips_after_average():
+    """detectMultiScale clips to the image AFTER groupRectangles
+    (cascadedetect.cpp clipObjects runs on the grouped output): a
+    coarsest-level candidate overhanging the bottom edge contributes its
+    UNCLIPPED height to the cluster average. Captured from a real
+    640x480 frontalface_alt divergence: grouping the pre-clipped list
+    gives h=132, the oracle (group-then-clip) gives h=133."""
+    from cascadeclassifier_tpu.detect.grouping import clip_rects
+
+    members = np.array(
+        [
+            (22, 333, 148, 148),   # y+h=481 > 480: unclipped height
+            (30, 333, 148, 148),   # ditto
+            (34, 343, 135, 135),
+            (51, 359, 101, 101),
+        ],
+        np.int64,
+    )
+    # unclipped heights sum 532 -> avg 133.0; pre-clipped sum 530 ->
+    # avg 132.5 -> round-half-even 132 (the old wrong answer)
+    grouped = clip_rects(group_rectangles(members, 2), 640, 480)
+    assert grouped.shape == (1, 4)
+    assert tuple(map(int, grouped[0])) == (34, 342, 133, 133)
+    pre = members.copy()
+    pre[:, 3] = np.minimum(pre[:, 3], 480 - pre[:, 1])
+    assert int(group_rectangles(pre, 2)[0][3]) == 132
+
+
 def test_group_rectangles_semantics():
     # three nearly identical rects + one outlier; threshold 2 keeps the
     # averaged cluster only
