@@ -222,19 +222,36 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
 
     top = tab["top_of_row"]
     # inclusive 2D cumsum; int32 wrap-around is exact after per-block
-    # top-row subtraction (block sums fit int32)
-    c = jnp.cumsum(jnp.cumsum(px, axis=1, dtype=jnp.int32), axis=0, dtype=jnp.int32)
-    sum2d = c - jnp.take(c, top, axis=0)
+    # top-row subtraction (block sums fit int32). The blocked MXU limb
+    # formulation (ops/integral.cumsum2d_mxu, bit-identical) moves the
+    # HBM-bound log-depth cumsum onto the MXU.
+    import os
 
-    sq2d = None
-    if need_sq:
-        # int32 with wrap-around: window sq-sums (≤ 255²·win²) fit int32,
-        # so corner differences recover the true value exactly — the same
-        # wrap-safety argument as sum2d; avoids emulated int64 cumsums
-        sq = px * px
-        csq = jnp.cumsum(jnp.cumsum(sq, axis=1, dtype=jnp.int32), axis=0,
-                         dtype=jnp.int32)
-        sq2d = csq - jnp.take(csq, top, axis=0)
+    if os.environ.get("CCTPU_MXU_INTEGRAL", "0") == "1":
+        from cascadeclassifier_tpu.ops.integral import integral2d_mxu
+
+        c, csq = integral2d_mxu(px, need_sq, canvas_w)
+        sum2d = c - jnp.take(c, top, axis=0)
+        sq2d = csq - jnp.take(csq, top, axis=0) if need_sq else None
+    else:
+        c = jnp.cumsum(
+            jnp.cumsum(px, axis=1, dtype=jnp.int32), axis=0,
+            dtype=jnp.int32,
+        )
+        sum2d = c - jnp.take(c, top, axis=0)
+
+        sq2d = None
+        if need_sq:
+            # int32 with wrap-around: window sq-sums (≤ 255²·win²) fit
+            # int32, so corner differences recover the true value
+            # exactly — the same wrap-safety argument as sum2d; avoids
+            # emulated int64 cumsums
+            sq = px * px
+            csq = jnp.cumsum(
+                jnp.cumsum(sq, axis=1, dtype=jnp.int32), axis=0,
+                dtype=jnp.int32,
+            )
+            sq2d = csq - jnp.take(csq, top, axis=0)
 
     tilt2d = None
     if need_tilted:
