@@ -657,12 +657,13 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
                     c = rcbuf[0, G + i]
                     rq = (r // 8) * 8
                     cq = (c // 128) * 128
-                    buf = bufs.at[i % D]
-                    v = jax.lax.switch(
-                        r - rq,
-                        [lambda j=j, b=buf: b[j : j + PH8, :]
-                         for j in range(8)],
-                    )
+                    # dynamic sublane roll brings patch row 0 to sublane
+                    # 0 (phase ≤ 7 and ph ≤ rows−7, so kept rows never
+                    # wrap) — one roll instead of an 8-way predicated
+                    # slice switch
+                    v = pltpu.roll(
+                        bufs[i % D], (rows - (r - rq)) % rows, 0
+                    )[:PH8, :]
                     # one composed roll lands the patch at lanes
                     # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
                     v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)

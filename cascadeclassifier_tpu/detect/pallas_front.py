@@ -134,27 +134,30 @@ def make_plane_front_fn(
                 cp.wait()
             inv = inv_ref[:]
 
-            def rect_sum(x, y, w, h):
+            def rect_sum(x, y, w, h, cache):
                 a1, i1 = y & 1, y >> 1
                 a2, i2 = (y + h) & 1, (y + h) >> 1
                 b1, j1 = x & 1, x >> 1
                 b2, j2 = (x + w) & 1, (x + w) >> 1
-                t1 = tiles[2 * a1 + b1]
-                t2 = tiles[2 * a2 + b1]
-                if b1 == b2:
-                    d = t1[i1 : i1 + th, :] - t2[i2 : i2 + th, :]
-                    return d[:, j1 : j1 + tw] - d[:, j2 : j2 + tw]
-                t3 = tiles[2 * a1 + b2]
-                t4 = tiles[2 * a2 + b2]
-                dl = (
-                    t1[i1 : i1 + th, j1 : j1 + tw]
-                    - t2[i2 : i2 + th, j1 : j1 + tw]
+
+                def rd(b):
+                    # full-width row difference, cached per (plane pair,
+                    # row offsets) and shared across rects/trees of the
+                    # group with the same vertical extent
+                    k1, k2 = 2 * a1 + b, 2 * a2 + b
+                    key = (k1, i1, k2, i2)
+                    d = cache.get(key)
+                    if d is None:
+                        d = (
+                            tiles[k1][i1 : i1 + th, :]
+                            - tiles[k2][i2 : i2 + th, :]
+                        )
+                        cache[key] = d
+                    return d
+
+                return (
+                    rd(b1)[:, j1 : j1 + tw] - rd(b2)[:, j2 : j2 + tw]
                 )
-                dr = (
-                    t3[i1 : i1 + th, j2 : j2 + tw]
-                    - t4[i2 : i2 + th, j2 : j2 + tw]
-                )
-                return dl - dr
 
             out_ref[:] = _run_stages(
                 frozen, alive_in, inv, rect_sum, acc, th, tw
@@ -212,7 +215,17 @@ def _freeze_chunk(stages, stage_ids):
 
 
 def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
-    """Shared chunk body: evaluate the frozen stages over one tile."""
+    """Shared chunk body: evaluate the frozen stages over one tile.
+
+    rect_sum(x, y, w, h, cache) returns the (th, tw) i32 rect sums; the
+    per-group `cache` dict lets the kernel share row-difference
+    intermediates between rects (and trees) with identical vertical
+    extent — Haar x2/x3 features re-read the same row pair per rect.
+
+    Trees whose weights are all integers accumulate raw responses in
+    int32 with ONE f32 convert per tree instead of one per rect —
+    bit-identical (every partial is an exact integer < 2^24, so both
+    orders of f32 conversion are exact)."""
 
     def stage_pass(alive_any, trees, sthr):
         # accumulate through the VMEM scratch ref; evaluate trees in
@@ -227,13 +240,22 @@ def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
 
             def group_body(group=group):
                 s = acc[:]
+                cache = {}
                 for (rects, thr, ll, rr) in group:
+                    int_wts = all(
+                        float(wt).is_integer() for (*_r, wt) in rects
+                    )
                     raw = None
                     for (x, y, w, h, wt) in rects:
-                        term = (
-                            rect_sum(x, y, w, h).astype(jnp.float32) * wt
-                        )
+                        rs = rect_sum(x, y, w, h, cache)
+                        if int_wts:
+                            iw = int(wt)
+                            term = rs if iw == 1 else rs * jnp.int32(iw)
+                        else:
+                            term = rs.astype(jnp.float32) * wt
                         raw = term if raw is None else raw + term
+                    if int_wts:
+                        raw = raw.astype(jnp.float32)
                     val = raw * inv
                     s = s + jnp.where(val < thr, ll, rr)
                 acc[:] = s
@@ -305,8 +327,12 @@ def make_static_front_fn(
             cp.wait()
             inv = inv_ref[:]
 
-            def rect_sum(x, y, w, h):
-                d = tile[y : y + th, :] - tile[y + h : y + h + th, :]
+            def rect_sum(x, y, w, h, cache):
+                key = (y, y + h)
+                d = cache.get(key)
+                if d is None:
+                    d = tile[y : y + th, :] - tile[y + h : y + h + th, :]
+                    cache[key] = d
                 return d[:, x : x + tw] - d[:, x + w : x + w + tw]
 
             out_ref[:] = _run_stages(
