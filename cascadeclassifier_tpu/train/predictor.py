@@ -237,9 +237,15 @@ class CascadePredictor:
         skey = ("stack", tuple(k for _i, k in uniq), Hp, Wp)
         stack = self._img_cache.get(skey)
         if stack is None:
+            # NB: build the pad list lazily — `[cache[zk]] * 0` would
+            # still evaluate the lookup, and zk is only inserted when
+            # L_pad != L (a power-of-two unique count has no pad)
+            pad_imgs = (
+                [self._img_cache[zk]] * (L_pad - L) if L_pad != L else []
+            )
             stack = jnp.stack(
                 [self._img_cache[(k, Hp, Wp)] for _i, k in uniq]
-                + [self._img_cache[zk]] * (L_pad - L)
+                + pad_imgs
             )
             self._img_cache[skey] = stack
         counts = [len(lv[1]) for lv in levels]

@@ -591,3 +591,25 @@ def test_predict_levels_cache_evict_midbatch():
         oks = pred.predict_levels(levels, 8, 8)
         assert len(oks) == 6 and all(len(o) == 3 for o in oks)
         assert all(o.all() for o in oks)  # no stages -> all accepted
+
+
+def test_predict_levels_power_of_two_uniques():
+    """A superbatch whose UNIQUE image count is an exact power of two
+    needs no zero pad image — the stack build must not touch the absent
+    ('zero', Hp, Wp) cache entry (regression: eager `[cache[zk]] * 0`
+    KeyError that killed a 20-stage training run at stage 5)."""
+    import numpy as np
+
+    from cascadeclassifier_tpu.train.predictor import CascadePredictor
+    from cascadeclassifier_tpu.train.trainer import make_evaluator
+
+    pred = CascadePredictor(lambda: make_evaluator(0, 8, 8), [])
+    rng = np.random.default_rng(1)
+    for n_uniq in (1, 2, 4):
+        levels = []
+        for i in range(n_uniq):
+            img = rng.integers(0, 256, (384, 512), np.uint8)
+            pos = np.array([[0, 0], [8, 4]], np.int32)
+            levels.append((img, pos, ("p2", n_uniq, i)))
+        oks = pred.predict_levels(levels, 8, 8)
+        assert len(oks) == n_uniq and all(o.all() for o in oks)
