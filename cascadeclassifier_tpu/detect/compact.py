@@ -151,6 +151,48 @@ def _exact_int_matmul_rel(a_bf16, patches):
     )
 
 
+def _limbs_rel(ps):
+    """Hoisted 3-limb bf16 planes of (ps − ps[:, :1]).
+
+    The per-stage matmuls previously re-derived (shift, mask,
+    bf16-convert) the limbs from the i32 patches on EVERY tail stage —
+    ~n·P·4B of HBM reads per limb per stage. The limb planes are
+    stage-invariant, so the re-compacting tails extract them once per
+    capacity level and gather the (half-sized) bf16 planes at each
+    shrink."""
+    rel = ps - ps[:, :1]
+    return tuple(
+        ((rel >> (8 * l)) & 0xFF).astype(jnp.bfloat16) for l in range(3)
+    )
+
+
+def _limbs_abs(p):
+    """Hoisted 4-limb bf16 planes of absolute i32 patches."""
+    return tuple(
+        ((p >> (8 * l)) & 0xFF).astype(jnp.bfloat16) for l in range(4)
+    )
+
+
+def _matmul_limbs(a_bf16, limbs):
+    """Exact int32 (R, N) = a @ patches.T over precomputed limb planes —
+    same arithmetic (and exactness proofs) as _exact_int_matmul for
+    4-limb absolute planes and _exact_int_matmul_rel for 3-limb relative
+    planes (rows of `a` must sum to zero and true results fit ±2^23)."""
+    acc = None
+    for l, limb in enumerate(limbs):
+        part = jax.lax.dot_general(
+            a_bf16, limb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        part = jax.lax.shift_left(part, jnp.int32(8 * l))
+        acc = part if acc is None else acc + part
+    if len(limbs) == 3:  # relative 3-limb: sign-extend from bit 23
+        acc = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(acc, jnp.int32(8)), jnp.int32(8)
+        )
+    return acc
+
+
 def make_tail_fn(packed, start_stage, exact):
     """fn(patch_sum (N,P) i32, patch_tilt, inv (N,) f32) -> alive (N,) bool
 
@@ -276,8 +318,9 @@ def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
         alive = jnp.arange(n) < cnt
         widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
+        limbs = _limbs_rel(ps)
         for k, (a_j, subs_j, ll_j, rr_j, sthr_k) in enumerate(per_stage):
-            cs = _exact_int_matmul_rel(a_j, ps)  # (9T, N)
+            cs = _matmul_limbs(a_j, limbs)  # (9T, N)
             t_k = subs_j.shape[0]
             cs = cs.reshape(t_k, 3, 3, -1)
             code = lbp_code_grid(
@@ -301,7 +344,7 @@ def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
                 live = jnp.sum(ai)
                 overflow = overflow | (live > na)
                 idx2 = _nonzero_1d(ai, na)
-                ps = ps[idx2]
+                limbs = tuple(lb[idx2] for lb in limbs)
                 widx = widx[idx2]
                 alive = jnp.arange(na) < jnp.minimum(live, na)
                 n = na
@@ -366,15 +409,23 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
         alive = jnp.arange(n) < cnt
         widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
+        if has_tilt:
+            limbs_s, limbs_t = _limbs_abs(ps), _limbs_abs(pt)
+        else:
+            limbs_s, limbs_t = _limbs_rel(ps), None
         for k, (a_j, at_j, w_j, thr_j, ll_j, rr_j, sthr_k) in enumerate(
             per_stage
         ):
             if at_j is None:
-                rs = _exact_int_matmul_rel(a_j, ps)
+                # untilted stage: 3-limb relative planes (or, in a mixed
+                # cascade, exact absolute 4-limb planes — same recombine)
+                rs = _matmul_limbs(a_j, limbs_s)
             else:
                 # tilted canvases are not monotone from the patch corner,
                 # so the 2-limb relative trick does not apply
-                rs = _exact_int_matmul(a_j, ps) + _exact_int_matmul(at_j, pt)
+                rs = _matmul_limbs(a_j, limbs_s) + _matmul_limbs(
+                    at_j, limbs_t
+                )
             t_k = w_j.shape[0]
             rs = rs.reshape(t_k, 3, -1).astype(jnp.float32)
             raw = rs[:, 0] * w_j[:, 0:1]
@@ -394,9 +445,9 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
                 live = jnp.sum(ai)
                 overflow = overflow | (live > na)
                 idx2 = _nonzero_1d(ai, na)
-                ps = ps[idx2]
+                limbs_s = tuple(lb[idx2] for lb in limbs_s)
                 if has_tilt:
-                    pt = pt[idx2]
+                    limbs_t = tuple(lb[idx2] for lb in limbs_t)
                 inv = inv[idx2]
                 widx = widx[idx2]
                 alive = jnp.arange(na) < jnp.minimum(live, na)

@@ -53,15 +53,42 @@ def plane_rect_sum(planes, rx, ry, w, h, out_h2, out_w2):
     )
 
 
+def plane_rect_sum_oo(p_oo, rx, ry, w, h, out_h2, out_w2):
+    """plane_rect_sum when all four corners are (odd, odd): reads the
+    single (1, 1) parity plane p_oo = canvas[1::2, 1::2]. Used by the
+    variance gate for even window dims, whose sq-integral corners are
+    (1, 1), (1, win_w−1), (win_h−1, 1), (win_h−1, win_w−1) — all odd —
+    so the canvas split never materializes the other three sq planes."""
+    assert (rx & 1) and (ry & 1) and ((rx + w) & 1) and ((ry + h) & 1)
+
+    def sl(dy, dx):
+        return p_oo[
+            dy >> 1 : (dy >> 1) + out_h2, dx >> 1 : (dx >> 1) + out_w2
+        ]
+
+    return (
+        sl(ry, rx)
+        - sl(ry, rx + w)
+        - sl(ry + h, rx)
+        + sl(ry + h, rx + w)
+    )
+
+
 def plane_variance_gate(planes_sum, planes_sq, win_w, win_h, out_h2, out_w2):
-    """dense_variance_gate on the (even, even) anchor plane."""
+    """dense_variance_gate on the (even, even) anchor plane.
+
+    planes_sq: the four sq parity planes (2, 2, H2, W2), or — for even
+    win_w/win_h — just the (1, 1) plane as a 2-D array."""
     rw, rh = win_w - 2, win_h - 2
     area = rw * rh
     with jax.enable_x64(True):
         vs = plane_rect_sum(
             planes_sum, 1, 1, rw, rh, out_h2, out_w2
         ).astype(jnp.int64)
-        vq = plane_rect_sum(planes_sq, 1, 1, rw, rh, out_h2, out_w2)
+        if planes_sq.ndim == 2:
+            vq = plane_rect_sum_oo(planes_sq, 1, 1, rw, rh, out_h2, out_w2)
+        else:
+            vq = plane_rect_sum(planes_sq, 1, 1, rw, rh, out_h2, out_w2)
         nf2 = jnp.int64(area) * vq - vs * vs
         pos = nf2 > 0
         nf = jnp.sqrt(jnp.where(pos, nf2, 1).astype(jnp.float64))

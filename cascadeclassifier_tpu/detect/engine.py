@@ -150,11 +150,13 @@ class FusedEngine:
     # unrolled tree count; chunking bounds it while the per-tile dead-skip
     # still shortcuts whole chunks for tiles whose survivors are gone)
     STATIC_CHUNK = 250
-    # static Pallas front tile geometry: fine tiles make the per-tile
-    # early-exit track survivor clustering (the TPU shape of the
-    # reference's per-window early exit) — at 128x512 almost every tile
-    # keeps one straggler and the whole canvas pays for every stage
-    TILE_H = 32
+    # static Pallas front tile geometry. Swept on-chip at 1080p
+    # (2026-08-18, adversarial bench frames): 64x512 = 65.7 ms/frame,
+    # 32x512 = 68.2, 32x1024 = 71.6, 16x512 = 80.6 — finer tiles track
+    # survivor clustering better in principle (the TPU shape of the
+    # reference's per-window early exit) but per-tile overhead wins at
+    # this density; coarser than 64 rows re-pays dead work
+    TILE_H = 64
     TILE_W = 512
     # live-row capacity of the final sparse detection extraction
     K_ROWS = 512
@@ -388,13 +390,26 @@ class FusedEngine:
 
             return jnp.stack([cols(e), cols(o)])
 
+        # even window dims put every variance-gate sq corner on the
+        # (odd, odd) plane (dense.py::plane_rect_sum_oo) — the split
+        # then materializes ONE sq plane instead of four (the sq planes
+        # have no other consumer), saving ~3/4 of the sq relayout writes
+        sq_oo_only = packed.win_w % 2 == 0 and packed.win_h % 2 == 0
+
         def plane_split(sum_pad, sq_pad):
             # the four parity planes planes[a, b] = x[a::2, b::2] feed
             # the plane prep/front's static corner reads. A SEPARATE
             # program: fused into the canvas build it trips the remote
             # XLA compile stall (same pathology as the canvas+gate
             # fusion, engine.py head comment).
-            return _to_planes(sum_pad), _to_planes(sq_pad)
+            if sq_oo_only:
+                o = sq_pad[1::2, :]
+                sq_planes = o.reshape(o.shape[0], o.shape[1] // 2, 2)[
+                    :, :, 1
+                ]
+            else:
+                sq_planes = _to_planes(sq_pad)
+            return _to_planes(sum_pad), sq_planes
 
         def prep(sum2d, sq2d, tilt2d, tab):
             """Gate + stage 0 + the serial-walk visited mask."""
