@@ -58,10 +58,16 @@ def run_measurement():
     stack = jnp.asarray(np.stack(frames))
     stack.block_until_ready()
 
-    # warmup / compile: one vmapped F-frame group + one per-frame
-    # remainder, so the timed region reuses every program shape
+    # warmup / compile: one full pass over the batch — besides the
+    # program compiles (every shape incl. the PACK-8 result chunk), the
+    # first ~50 frames of a fresh process run 1.3-3x slower while the
+    # device allocator / tunnel caches warm up (measured 206 → 140 → 89
+    # → 69 ms/frame over successive 8/16/32-frame batches); the metric
+    # is steady-state serving throughput, so the timed region starts
+    # past the transient
     bf = det._fused.BATCH_F if det.engine == "fused" else 1
     det.detect_multi_scale_batch(stack[: bf + 1], 1.1, 3)
+    det.detect_multi_scale_batch(stack, 1.1, 3)
 
     t0 = time.time()
     results = det.detect_multi_scale_batch(stack, 1.1, 3)
