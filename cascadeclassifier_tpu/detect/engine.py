@@ -151,12 +151,13 @@ class FusedEngine:
     # still shortcuts whole chunks for tiles whose survivors are gone)
     STATIC_CHUNK = 250
     # static Pallas front tile geometry. Swept on-chip at 1080p
-    # (2026-08-18, adversarial bench frames): 64x512 = 65.7 ms/frame,
-    # 32x512 = 68.2, 32x1024 = 71.6, 16x512 = 80.6 — finer tiles track
-    # survivor clustering better in principle (the TPU shape of the
-    # reference's per-window early exit) but per-tile overhead wins at
-    # this density; coarser than 64 rows re-pays dead work
-    TILE_H = 64
+    # (2026-08-18, adversarial bench frames, whole-pipeline ms/frame):
+    # 128x512 = 63.3, 256x512 = 63.7 (but 401 s Mosaic compile vs 169),
+    # 64x512 = 65.7, 32x512 = 68.2, 32x1024 = 71.6, 64x256 = 69.5,
+    # 16x512 = 80.6 — finer tiles track survivor clustering better in
+    # principle (the TPU shape of the reference's per-window early
+    # exit) but per-tile overhead wins at bench survivor density
+    TILE_H = 128
     TILE_W = 512
     # live-row capacity of the final sparse detection extraction
     K_ROWS = 512
