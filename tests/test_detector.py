@@ -634,6 +634,28 @@ def test_fused_batched_head_programs_identical(face_img):
         np.testing.assert_array_equal(a, b)
 
 
+def test_windowed_batch_submission_matches_per_frame(face_img):
+    """The single-chip batch path packs PACK=8-frame result chunks and
+    fetches the oldest once more than IN_FLIGHT are outstanding
+    (allocator backpressure fix). 21 frames exercise: >IN_FLIGHT full
+    chunks, a partial 5-frame final chunk (its own pack program size),
+    and result-order preservation across the windowed fetches."""
+    import dataclasses
+
+    m = read_cascade_xml(HAAR_ALT)
+    m6 = dataclasses.replace(m, stages=list(m.stages[:6]))
+    frames = [face_blob_image(160, 140, n=3, seed=s) for s in range(21)]
+
+    det = TPUDetector(m6, exact=False, engine="fused")
+    det._fused.tail_n = 4096
+    ref = [det.detect_multi_scale(f, 1.2, 0) for f in frames]
+    assert sum(len(r) for r in ref) > 0
+    got = det.detect_multi_scale_batch(frames, 1.2, 0)
+    assert len(got) == len(frames)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("wh", [(1920, 1080), (1280, 720), (640, 480),
                                 (333, 257)])
 def test_fused_engine_builds_at_geometry(wh):
