@@ -761,8 +761,10 @@ class TPUDetector:
 
         # pack in fixed-size chunks so the pack program compiles once per
         # chunk size (a len(outs)-sized program would recompile for every
-        # new batch size — ~0.5 s inside the user's timed region)
-        PACK = 8
+        # new batch size — ~0.5 s inside the user's timed region).
+        # 16-frame chunks halve the ~28 ms tunnel fetch round trips vs 8
+        # (measured 64.6 → 62.6 ms/frame at batch 32)
+        PACK = 16
         ndev = len(devices) if devices is not None and len(devices) > 1 else 1
 
         def _pack_chunk(chunk):

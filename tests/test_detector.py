@@ -635,11 +635,11 @@ def test_fused_batched_head_programs_identical(face_img):
 
 
 def test_windowed_batch_submission_matches_per_frame(face_img):
-    """The single-chip batch path packs PACK=8-frame result chunks and
+    """The single-chip batch path packs PACK=16-frame result chunks and
     fetches the oldest once more than IN_FLIGHT are outstanding
-    (allocator backpressure fix). 21 frames exercise: >IN_FLIGHT full
-    chunks, a partial 5-frame final chunk (its own pack program size),
-    and result-order preservation across the windowed fetches."""
+    (allocator backpressure fix). 21 frames exercise a full chunk plus
+    a partial 5-frame final chunk (its own pack program size), and
+    result-order preservation across the windowed fetches."""
     import dataclasses
 
     m = read_cascade_xml(HAAR_ALT)
