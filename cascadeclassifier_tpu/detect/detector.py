@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,10 @@ from cascadeclassifier_tpu.models.model import (
 )
 
 THRESHOLD_EPS = np.float32(1e-5)
+
+# read ONCE at import: toggling mid-process would silently mix integral
+# implementations across already-cached compiled programs
+_MXU_INTEGRAL = os.environ.get("CCTPU_MXU_INTEGRAL", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +230,7 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
     # top-row subtraction (block sums fit int32). The blocked MXU limb
     # formulation (ops/integral.cumsum2d_mxu, bit-identical) moves the
     # HBM-bound log-depth cumsum onto the MXU.
-    import os
-
-    if os.environ.get("CCTPU_MXU_INTEGRAL", "0") == "1":
+    if _MXU_INTEGRAL:
         from cascadeclassifier_tpu.ops.integral import integral2d_mxu
 
         c, csq = integral2d_mxu(px, need_sq, canvas_w)

@@ -214,6 +214,17 @@ def _freeze_chunk(stages, stage_ids):
     return frozen
 
 
+def _int_acc_exact(rects):
+    """True when the int32 tree accumulation is bit-identical to the
+    per-rect f32 path: every partial sum of |wt|·255·w·h must stay below
+    2^24 so each f32 conversion is exact. Trees violating the bound
+    (huge windows / weights) keep the per-rect f32 formulation."""
+    bound = 0
+    for (x, y, w, h, wt) in rects:
+        bound += abs(int(wt)) * 255 * int(w) * int(h)
+    return bound < (1 << 24)
+
+
 def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
     """Shared chunk body: evaluate the frozen stages over one tile.
 
@@ -244,7 +255,7 @@ def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
                 for (rects, thr, ll, rr) in group:
                     int_wts = all(
                         float(wt).is_integer() for (*_r, wt) in rects
-                    )
+                    ) and _int_acc_exact(rects)
                     raw = None
                     for (x, y, w, h, wt) in rects:
                         rs = rect_sum(x, y, w, h, cache)
