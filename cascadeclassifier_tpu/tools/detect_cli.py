@@ -35,18 +35,28 @@ def main(argv=None):
     import cv2
 
     from cascadeclassifier_tpu.detect.detector import TPUDetector
+    from cascadeclassifier_tpu.models.model import FEATURE_HOG
     from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
 
     img = cv2.imread(args.image, cv2.IMREAD_GRAYSCALE)
     if img is None:
         print(f"cannot read {args.image}", file=sys.stderr)
         return 1
-    det = TPUDetector(
-        read_cascade_xml(args.cascade),
-        exact=not args.fast,
-        engine=args.engine,
-        pallas_interpret=args.pallas_interpret,
-    )
+    model = read_cascade_xml(args.cascade)
+    if model.feature_type == FEATURE_HOG:
+        # HOG cascades: the OpenCV runtime cannot serve these at all
+        # (reference trains but never detects HOG, SURVEY §2.3); route to
+        # the crop-consistent HOG detector (engine flags do not apply)
+        from cascadeclassifier_tpu.detect.hog_detector import HOGDetector
+
+        det = HOGDetector(model)
+    else:
+        det = TPUDetector(
+            model,
+            exact=not args.fast,
+            engine=args.engine,
+            pallas_interpret=args.pallas_interpret,
+        )
     rects = det.detect_multi_scale(
         img,
         scale_factor=args.scale_factor,

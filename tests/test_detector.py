@@ -736,3 +736,48 @@ def test_fused_split_tail_parity():
     ref = TPUDetector(m6, exact=False, engine="xla")
     want = sorted(map(tuple, ref.detect_multi_scale(img, 1.2, 0)))
     assert got == want and len(got) > 0
+
+
+def test_fused_overflow_falls_back_to_adaptive(haar8):
+    """Forcing the static tail capacity to overflow on a dense-detection
+    frame must transparently re-run the frame through the host-adaptive
+    engine with IDENTICAL results (the OpenCV runtime has no capacity
+    cliffs — reference tools/detection/Cpp/main.cpp:42-49)."""
+    import dataclasses
+
+    frames = [face_blob_image(200, 160, n=4, seed=s) for s in (1, 2)]
+
+    fus = TPUDetector(haar8[0], exact=False, engine="fused")
+    fus._fused.tail_n = 32  # guaranteed overflow on these frames
+    got = fus.detect_multi_scale_batch(frames, 1.2, 0)
+    assert fus._fallback is not None and fus._fallback.engine == "compact"
+
+    ref = TPUDetector(haar8[0], exact=False, engine="xla")
+    want = [ref.detect_multi_scale(f, 1.2, 0) for f in frames]
+    assert sum(len(w) for w in want) > 32  # the overflow was real
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+    # LBP cascades have no compact engine: fallback must route to xla
+    m = read_cascade_xml(LBP_FRONTAL)
+    m4 = dataclasses.replace(m, stages=list(m.stages[:4]))
+    fusl = TPUDetector(m4, exact=False, engine="fused")
+    fusl._fused.tail_n = 32
+    gotl = fusl.detect_multi_scale_batch(frames[:1], 1.2, 0)
+    assert fusl._fallback is not None and fusl._fallback.engine == "xla"
+    refl = TPUDetector(m4, exact=False, engine="xla")
+    np.testing.assert_array_equal(
+        gotl[0], refl.detect_multi_scale(frames[0], 1.2, 0)
+    )
+
+
+def test_nonfused_batch_path_pipelines(haar8, face_img):
+    """detect_multi_scale_batch on the xla engine (windowed submit/fetch)
+    must reproduce the serial per-frame results in order."""
+    det = TPUDetector(haar8[0], exact=False, engine="xla")
+    frames = [face_blob_image(160, 140, n=3, seed=s) for s in range(7)]
+    want = [det.detect_multi_scale(f, 1.2, 0) for f in frames]
+    got = det.detect_multi_scale_batch(frames, 1.2, 0)
+    assert len(got) == len(want) and sum(len(w) for w in want) > 0
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)

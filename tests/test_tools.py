@@ -115,3 +115,50 @@ def test_visualisation(tmp_path):
     out = str(tmp_path / "vis")
     assert main(["--model", xml, "--data", out, "--scale", "4"]) == 0
     assert len(os.listdir(out)) == 22
+
+
+def test_detect_cli_routes_hog_cascade(tmp_path, capsys):
+    """tpu-detect serves HOG cascades via HOGDetector (the OpenCV runtime
+    cannot serve HOG at all — reference detection samples are Haar/LBP
+    only, tools/detection/Cpp/main.cpp:42-49)."""
+    import cv2
+
+    from cascadeclassifier_tpu.models.model import (
+        FEATURE_HOG,
+        CascadeModel,
+        HOGFeature,
+        Stage,
+        WeakTree,
+    )
+    from cascadeclassifier_tpu.models.xml_io import write_cascade_xml
+    from cascadeclassifier_tpu.ops.features import hog_catalog
+    from cascadeclassifier_tpu.tools.detect_cli import main
+
+    cat = hog_catalog(32, 32)
+    tree = WeakTree(
+        left=np.array([-1], np.int32),
+        right=np.array([-2], np.int32),
+        feature_idx=np.array([0], np.int32),
+        threshold=np.array([0.5], np.float32),
+        leaf_values=np.array([0.0, -1.0, 1.0], np.float32),
+    )
+    # accept-everything stage: routing is what is under test
+    model = CascadeModel(
+        feature_type=FEATURE_HOG, width=32, height=32,
+        stages=[Stage(threshold=-10.0, trees=[tree])],
+        features=[HOGFeature(rect=tuple(int(v) for v in cat.rects[0]),
+                             component=0)],
+        feat_size=36,
+    ).validate()
+    xml = str(tmp_path / "hog.xml")
+    write_cascade_xml(model, xml)
+    img = np.random.default_rng(0).integers(
+        0, 256, (40, 44)
+    ).astype(np.uint8)
+    png = str(tmp_path / "scene.png")
+    cv2.imwrite(png, img)
+    rc = main([xml, png, "--scale-factor", "1.2", "--min-neighbors", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # the accept-all cascade must fire on the grid
+    assert len(out) >= 1 and all(len(l.split()) == 4 for l in out)
