@@ -801,15 +801,25 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     return jax.jit(run), (rows, ph * pw)
 
 
+def padded_canvas_shape(H, W, win_h, min_h: int = 0, min_w: int = 0,
+                        row_mult: int = 8):
+    """Padded canvas geometry for aligned patchify/front DMAs.
+
+    row_mult: row-count multiple (8 for the DMA alignment floor; the
+    single-pass Pallas integral kernel wants its row-block size)."""
+    ph = win_h + 1
+    rows = -(-(ph + 8) // 8) * 8
+    HP = -(-max(H + rows, min_h) // row_mult) * row_mult
+    WP = -(-max(W + 256, min_w) // 128) * 128
+    return HP, WP
+
+
 def pad_canvas_for_patchify(canvas, win_h, min_h: int = 0, min_w: int = 0):
     """Zero-pad a canvas so per-window aligned DMAs stay in bounds.
 
     min_h/min_w: optional extra floor on the padded shape (e.g. the static
     front kernel's tile+halo geometry) so one padded canvas serves every
     DMA consumer."""
-    ph = win_h + 1
-    rows = -(-(ph + 8) // 8) * 8
     H, W = canvas.shape
-    HP = -(-max(H + rows, min_h) // 8) * 8
-    WP = -(-max(W + 256, min_w) // 128) * 128
+    HP, WP = padded_canvas_shape(H, W, win_h, min_h, min_w)
     return jnp.pad(canvas, ((0, HP - H), (0, WP - W)))

@@ -203,21 +203,40 @@ def _mm(a, b):
 
 def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
                   need_tilted: bool = False, tilt_pad: int = 0,
-                  resize_mats=None):
-    """u8 frame → (sum_flat int32, sq_flat int64 | None) canvas integrals.
+                  resize_mats=None, pad_shape=None, use_kernel=False,
+                  interpret=False):
+    """u8 frame → (sum int32, sq int32 | None, tilt int32 | None) canvas
+    integrals.
 
     The resize runs on the MXU: H = R @ img blends rows (coeffs ≤ 256 and
     u8 pixels are bfloat16-exact; f32 accumulation exact up to 65280), then
     per-level column matmuls on H's 8-bit limbs recombine into the exact
     int32 fixed-point sum, and (v + 2^15) >> 16 rounds exactly as the
     per-pixel gather formulation did (bit-validated against
-    INTER_LINEAR_EXACT)."""
+    INTER_LINEAR_EXACT).
+
+    The integrals carry NO per-level top-row reset: every consumer (dense
+    and plane rect sums, the variance gates, the patchify + corner-
+    incidence MXU tails) takes 4-corner differences whose corner rows all
+    lie within one pyramid block, so the per-level row offset c[top] is a
+    function of (row-block, column) that cancels identically under int32
+    wrap-around. The classic ``c − c[top_of_row]`` pass (~270 MB of HBM
+    traffic per frame at 1080p) is therefore skipped entirely.
+
+    pad_shape: optional (HP, WP) — the pixel canvas (and hence the
+    integral outputs) are allocated at this padded geometry up front, so
+    the downstream aligned-DMA consumers (patchify, static front) need no
+    separate pad program. use_kernel: run the single-pass Pallas cumsum
+    kernel (detect/pallas_integral.py) instead of the log-depth XLA
+    cumsum chain — bit-identical (mod 2^32)."""
     R, cols = resize_mats
     H = _mm(R, img.astype(jnp.bfloat16))  # (canvas_h, img_w) ints ≤ 65280
     Hi = (H.astype(jnp.int32) >> 8).astype(jnp.bfloat16)
     Lo = (H.astype(jnp.int32) & 0xFF).astype(jnp.bfloat16)
+    canvas_h = R.shape[0]
     canvas_w = tab["sx0"].shape[1]
-    px = jnp.zeros((R.shape[0], canvas_w), jnp.int32)
+    px_shape = pad_shape if pad_shape is not None else (canvas_h, canvas_w)
+    px = jnp.zeros(px_shape, jnp.int32)
     for (t, h_s, w_s, C) in cols:
         hi = jax.lax.slice(Hi, (t + 1, 0), (t + 1 + h_s, img_w))
         lo = jax.lax.slice(Lo, (t + 1, 0), (t + 1 + h_s, img_w))
@@ -228,40 +247,38 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
         lvl = jnp.minimum((v + (1 << 15)) >> 16, 255)
         px = jax.lax.dynamic_update_slice(px, lvl, (t + 1, 1))
 
-    top = tab["top_of_row"]
-    # inclusive 2D cumsum; int32 wrap-around is exact after per-block
-    # top-row subtraction (block sums fit int32). The blocked MXU limb
-    # formulation (ops/integral.cumsum2d_mxu, bit-identical) moves the
-    # HBM-bound log-depth cumsum onto the MXU.
-    if _MXU_INTEGRAL:
+    # inclusive 2D cumsum with int32 wrap-around (window rect sums fit
+    # int32, so 4-corner differences recover true values exactly)
+    if use_kernel:
+        from cascadeclassifier_tpu.detect.pallas_integral import (
+            make_integral_fn,
+        )
+
+        sum2d, sq2d = make_integral_fn(
+            px_shape[0], px_shape[1], need_sq, interpret=interpret
+        )(px)
+    elif _MXU_INTEGRAL:
         from cascadeclassifier_tpu.ops.integral import integral2d_mxu
 
-        c, csq = integral2d_mxu(px, need_sq, canvas_w)
-        sum2d = c - jnp.take(c, top, axis=0)
-        sq2d = csq - jnp.take(csq, top, axis=0) if need_sq else None
+        sum2d, sq2d = integral2d_mxu(px, need_sq, canvas_w)
     else:
-        c = jnp.cumsum(
+        sum2d = jnp.cumsum(
             jnp.cumsum(px, axis=1, dtype=jnp.int32), axis=0,
             dtype=jnp.int32,
         )
-        sum2d = c - jnp.take(c, top, axis=0)
-
         sq2d = None
         if need_sq:
-            # int32 with wrap-around: window sq-sums (≤ 255²·win²) fit
-            # int32, so corner differences recover the true value
-            # exactly — the same wrap-safety argument as sum2d; avoids
-            # emulated int64 cumsums
             sq = px * px
-            csq = jnp.cumsum(
+            sq2d = jnp.cumsum(
                 jnp.cumsum(sq, axis=1, dtype=jnp.int32), axis=0,
                 dtype=jnp.int32,
             )
-            sq2d = csq - jnp.take(csq, top, axis=0)
 
     tilt2d = None
     if need_tilted:
-        tilt2d = canvas_tilted(px, tab["is_top"], tilt_pad)
+        tilt2d = canvas_tilted(
+            px[:canvas_h, :canvas_w], tab["is_top"], tilt_pad
+        )
     return sum2d, sq2d, tilt2d
 
 

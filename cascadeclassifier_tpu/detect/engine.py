@@ -350,26 +350,37 @@ class FusedEngine:
         # fusing all four pieces into one program sends the remote XLA
         # compile into a >20-minute stall, while any pairwise split
         # compiles in seconds (empirically bisected; cause unknown)
+        #
+        # The pixel canvas is allocated at the final padded geometry up
+        # front and the single-pass Pallas integral kernel writes the
+        # (sum, sq) integrals straight into it — no separate pad program,
+        # no log-depth XLA cumsum chains (detect/pallas_integral.py).
+        # The vmapped batch head keeps the XLA cumsums (the kernel's
+        # blocked grid does not vmap).
+        use_int_kernel = (
+            (use_pallas or self.interpret) and self.BATCH_F == 1
+        )
+        from cascadeclassifier_tpu.detect.compact import (
+            padded_canvas_shape,
+        )
+
+        pad_shape = padded_canvas_shape(
+            plan.canvas_h, plan.canvas_w, packed.win_h, *pad_min,
+            row_mult=256 if use_int_kernel else 8,
+        )
+
         def canvas(img, tab, R, Cs):
             resize_mats = (
                 R, [(t, h, w, c) for (t, h, w), c in zip(col_meta, Cs)]
             )
-            sum2d, sq2d, tilt2d = _build_canvas(
+            sum_pad, sq2d, tilt2d = _build_canvas(
                 img, tab, img_w, img_h, need_sq=is_haar,
                 need_tilted=tilted, resize_mats=resize_mats,
+                pad_shape=pad_shape, use_kernel=use_int_kernel,
+                interpret=self.interpret,
             )
             if sq2d is None:
-                sq2d = sum2d
-            # emit the canvases pre-padded for the patch extractor's and
-            # static front's aligned DMAs (a separate 88 MB jnp.pad program
-            # costs ~33 ms; fused with the integral build it is ~free). All
-            # downstream consumers slice fixed offsets, so padding is
-            # transparent.
-            sum_pad = pad_canvas_for_patchify(sum2d, packed.win_h, *pad_min)
-            if use_static_front:
-                # the plane prep reads parity planes of the SQUARED
-                # integral too — pad it to the same even geometry
-                sq2d = pad_canvas_for_patchify(sq2d, packed.win_h, *pad_min)
+                sq2d = sum_pad
             if tilt2d is None:
                 # placeholder so the chained-program signatures stay
                 # uniform; no stage reads it in untilted cascades
