@@ -193,7 +193,7 @@ def main():
         )
         ps = t.time("  patchify", p["ppatch"], sum2d, r, c, cntd)
         iv = inv_p.reshape(-1)[idxp]
-        t.time("  tail_fn", p["tail_fn"], ps, ps[:, :1], iv, cntd)
+        t.time("  tail_fn", p["tail_fn"], ps, ps, iv, cntd)
     t.report()
 
 

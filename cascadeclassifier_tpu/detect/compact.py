@@ -318,7 +318,9 @@ def make_lbp_tail_compact_fn(packed, start_stage, exact, n0,
         alive = jnp.arange(n) < cnt
         widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
-        limbs = _limbs_rel(ps)
+        # ps: (n, P) int32 patches, or pre-extracted bf16 limb planes
+        # straight from the patchify kernel (emit="limbs_rel")
+        limbs = ps if isinstance(ps, tuple) else _limbs_rel(ps)
         for k, (a_j, subs_j, ll_j, rr_j, sthr_k) in enumerate(per_stage):
             cs = _matmul_limbs(a_j, limbs)  # (9T, N)
             t_k = subs_j.shape[0]
@@ -409,7 +411,13 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
         alive = jnp.arange(n) < cnt
         widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
-        if has_tilt:
+        # ps/pt: (n, P) int32 patches, or pre-extracted bf16 limb planes
+        # from the patchify kernel (emit="limbs_abs"/"limbs_rel"); the
+        # 4-limb absolute planes are exact for untilted stages too
+        if isinstance(ps, tuple):
+            limbs_s = ps
+            limbs_t = pt if has_tilt else None
+        elif has_tilt:
             limbs_s, limbs_t = _limbs_abs(ps), _limbs_abs(pt)
         else:
             limbs_s, limbs_t = _limbs_rel(ps), None
@@ -629,9 +637,16 @@ def make_patchify_fn(win_w, win_h, need_tilt):
 
 
 def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
-                         interpret=False, g_windows=64, d_inflight=8):
+                         interpret=False, g_windows=64, d_inflight=16,
+                         emit="i32"):
     """Pallas patch extractor:
     fn(canvas_pad, r, c, cnt) -> (n, (win_h+1)*(win_w+1)).
+
+    emit: "i32" returns the int32 patch matrix; "limbs_rel" /
+    "limbs_abs" return the 3-limb relative / 4-limb absolute bf16 limb
+    planes the MXU tails consume (_limbs_rel/_limbs_abs semantics) —
+    fused with the kernel-output transpose so the (n, P) int32
+    intermediate is never materialized in HBM.
 
     Each window's (ph, pw) integral patch is DMA'd from HBM (double-
     buffered; aligned base + row-switch/lane-roll because Mosaic supports
@@ -671,9 +686,10 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         cnt = rcbuf[0, 2 * G]
 
         def block_body():
-            def valid(i):
-                return g * G + i < cnt
-
+            # no per-window validity conds: callers zero r/c past cnt, so
+            # every slot's DMA is in-bounds and slots past cnt just
+            # extract garbage the tail masks off via its own cnt bound —
+            # the per-window cond pair cost more than the extraction
             def mk_cp(i):
                 rq = pl.multiple_of((rcbuf[0, i] // 8) * 8, 8)
                 cq = pl.multiple_of((rcbuf[0, G + i] // 128) * 128, 128)
@@ -683,52 +699,40 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
                     sems.at[i % D],
                 )
 
-            def start(i):
-                @pl.when(valid(i))
-                def _():
-                    mk_cp(i).start()
-
             row_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 0)
             col_i = jax.lax.broadcasted_iota(jnp.int32, (PH8, 256), 1)
 
             for i in range(D - 1):
-                start(i)
+                mk_cp(i).start()
             octet = None
             for i in range(G):
                 if i + D - 1 < G:
-                    start(i + D - 1)
+                    mk_cp(i + D - 1).start()
                 slot = i % 8
-
-                @pl.when(valid(i))
-                def _(i=i):
-                    mk_cp(i).wait()
-
-                def extract(i=i, slot=slot):
-                    r = rcbuf[0, i]
-                    c = rcbuf[0, G + i]
-                    rq = (r // 8) * 8
-                    cq = (c // 128) * 128
-                    # dynamic sublane roll brings patch row 0 to sublane
-                    # 0 (phase ≤ 7 and ph ≤ rows−7, so kept rows never
-                    # wrap) — one roll instead of an 8-way predicated
-                    # slice switch
-                    v = pltpu.roll(
-                        bufs[i % D], (rows - (r - rq)) % rows, 0
-                    )[:PH8, :]
-                    # one composed roll lands the patch at lanes
-                    # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
-                    v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)
-                    keep = (
-                        (row_i < ph)
-                        & (col_i >= 32 * slot)
-                        & (col_i < 32 * slot + pw)
-                    )
-                    return jnp.where(keep, v, 0)
-
-                v = jax.lax.cond(
-                    valid(i), extract,
-                    lambda: jnp.zeros((PH8, 256), jnp.int32),
+                mk_cp(i).wait()
+                r = rcbuf[0, i]
+                c = rcbuf[0, G + i]
+                rq = (r // 8) * 8
+                cq = (c // 128) * 128
+                # dynamic sublane roll brings patch row 0 to sublane
+                # 0 (phase ≤ 7 and ph ≤ rows−7, so kept rows never
+                # wrap) — one roll instead of an 8-way predicated
+                # slice switch
+                v = pltpu.roll(
+                    bufs[i % D], (rows - (r - rq)) % rows, 0
+                )[:PH8, :]
+                # one composed roll lands the patch at lanes
+                # [32·slot, 32·slot+pw) — 32·7+25 < 256, no wrap
+                v = pltpu.roll(v, (256 - (c - cq) + 32 * slot) % 256, 1)
+                keep = (
+                    (row_i < ph)
+                    & (col_i >= 32 * slot)
+                    & (col_i < 32 * slot + pw)
+                    # slots past cnt emit zeros — a broadcast compare in
+                    # the existing select, NOT a per-window cond pair
+                    & (g * G + i < cnt)
                 )
+                v = jnp.where(keep, v, 0)
                 octet = v if slot == 0 else octet + v
                 if slot == 7:
                     q = i // 8
@@ -796,7 +800,23 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         raw = raw.reshape(n // 8, PH8, 8, 32)
         raw = jnp.transpose(raw, (0, 2, 1, 3))       # (n/8, 8, PH8, 32)
         raw = raw.reshape(n, PH8, 32)[:, :ph, :pw]
-        return raw.reshape(n, ph * pw)
+        raw = raw.reshape(n, ph * pw)
+        if emit == "i32":
+            return raw
+        if emit == "limbs_rel":
+            # fused transpose + relative 3-limb extraction: the limb
+            # selects fold into the transpose's output loop, so the
+            # (n, P) int32 patch matrix never hits HBM
+            rel = raw - raw[:, :1]
+            return tuple(
+                ((rel >> (8 * l)) & 0xFF).astype(jnp.bfloat16)
+                for l in range(3)
+            )
+        assert emit == "limbs_abs"
+        return tuple(
+            ((raw >> (8 * l)) & 0xFF).astype(jnp.bfloat16)
+            for l in range(4)
+        )
 
     return jax.jit(run), (rows, ph * pw)
 

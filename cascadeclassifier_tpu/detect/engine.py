@@ -250,9 +250,13 @@ class FusedEngine:
             mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
             tail_fn = mk(packed, n_dense, exact, tail_n)
             if use_pallas:
+                # the kernel emits the MXU tail's bf16 limb planes
+                # directly (transpose + limb selects fused; the int32
+                # patch matrix never hits HBM)
                 ppatch, _ = make_pallas_patchify(
                     packed.win_w, packed.win_h,
                     plan.canvas_h, plan.canvas_w, tail_n,
+                    emit="limbs_abs" if tilted else "limbs_rel",
                 )
             else:
                 xpatch = make_patchify_fn(packed.win_w, packed.win_h, tilted)
@@ -601,7 +605,7 @@ class FusedEngine:
             oflow = (cnt > tail_n) | extra_oflow
             if use_pallas:
                 ps = ppatch(sum2d, r, c, cnt)
-                pt = ppatch(tilt2d, r, c, cnt) if tilted else ps[:, :1]
+                pt = ppatch(tilt2d, r, c, cnt) if tilted else ps
             else:
                 ps, pt = xpatch(sum2d, tilt2d, r, c)
             widx, t_alive, t_oflow = tail_fn(ps, pt, inv_vec, cnt)

@@ -504,6 +504,43 @@ def test_parity_visited_matches_walk_scan():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_pallas_patchify_limb_emit():
+    """emit='limbs_rel'/'limbs_abs' equal the reference limb extraction
+    applied to the int32 patches (the fused transpose+limb path the TPU
+    tail consumes)."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.compact import (
+        _limbs_abs, _limbs_rel, make_pallas_patchify,
+        pad_canvas_for_patchify,
+    )
+
+    rng = np.random.default_rng(7)
+    H, W, win = 160, 200, 20
+    canvas = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (H, W), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    N, CNT = 64, 50
+    r = np.where(np.arange(N) < CNT,
+                 rng.integers(0, H - win - 1, N), 0).astype(np.int32)
+    c = np.where(np.arange(N) < CNT,
+                 rng.integers(0, W - win - 1, N), 0).astype(np.int32)
+    pad = pad_canvas_for_patchify(canvas, win)
+    f32, _ = make_pallas_patchify(win, win, H, W, N, interpret=True)
+    ps = f32(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+    for emit, ref_fn in (("limbs_rel", _limbs_rel), ("limbs_abs", _limbs_abs)):
+        fn, _ = make_pallas_patchify(
+            win, win, H, W, N, interpret=True, emit=emit
+        )
+        got = fn(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+        want = ref_fn(ps)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.dtype == jnp.bfloat16
+            assert np.array_equal(np.asarray(g), np.asarray(w)), emit
+
+
 def test_pallas_patchify_cnt_guard():
     """Slots past `cnt` are skipped (zero output), real slots unchanged."""
     import jax.numpy as jnp
