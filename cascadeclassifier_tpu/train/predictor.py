@@ -261,13 +261,19 @@ class CascadePredictor:
             pys[off : off + c] = pos[:, 1]
             ids[off : off + c] = uid[key]
             off += c
-        win = _extract_windows_multi(
-            stack, jnp.asarray(ids), jnp.asarray(pxs), jnp.asarray(pys),
-            wh, ww,
-        )
+        from cascadeclassifier_tpu.utils.profiling import timed
+
+        with timed("mine_extract"):
+            win = _extract_windows_multi(
+                stack, jnp.asarray(ids), jnp.asarray(pxs), jnp.asarray(pys),
+                wh, ww,
+            )
         if not self.stages:
             return [np.ones(c, bool) for c in counts]
-        ok = np.asarray(self._predict_device(win))  # one fetch
+        with timed("mine_values"):
+            ok_dev = self._predict_device(win)
+        with timed("mine_fetch"):
+            ok = np.asarray(ok_dev)  # one fetch
         out, off = [], 0
         for c in counts:
             out.append(ok[off : off + c])

@@ -75,6 +75,36 @@ def det_full():
 
 
 @pytest.mark.slow
+def test_bench_config_f32_grouped_parity(oracle_bin, tmp_path):
+    """The precision mode bench.py actually measures (exact=False, f32
+    fused engine) matches the C++ runtime's grouped detections on the
+    FULL cascade at the bench parameters (sf=1.1, minNeighbors=3) —
+    including a bench-style adversarial synthetic frame (the same
+    generator bench.py times, at a CPU-tractable geometry). Closes the
+    gap between the headline fps and the parity proof: on CPU this
+    drives the f32 XLA front, which test_fused_static_engine_parity /
+    test_static_front_matches_dense pin bit-identical to the static
+    Pallas front the TPU bench runs. Reference oracle:
+    tools/detection/Cpp/main.cpp:42-49."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import synth_frame
+
+    m = read_cascade_xml(HAAR_ALT)
+    det = TPUDetector(m, exact=False, engine="fused")
+    imgs = [
+        synth_frame(0, 480, 640),
+        face_blob_image(640, 480, n=8, seed=11),
+        face_blob_image(320, 240, n=4, seed=5),
+    ]
+    for img in imgs:
+        ours = sorted(map(tuple, det.detect_multi_scale(img, 1.1, 3)))
+        ref = _oracle(oracle_bin, HAAR_ALT, img, tmp_path, "1.1", "3")
+        assert ours == ref
+
+
+@pytest.mark.slow
 def test_haar_raw_window_parity(oracle_bin, tmp_path, det_full, face_img):
     """Keystone: FULL 22-stage cascade, OpenCV-default scaleFactor."""
     ours = sorted(map(tuple, det_full.detect_multi_scale(face_img, 1.1, 0)))
