@@ -91,7 +91,7 @@ def main():
     tr.stages = stages
 
     profiling.reset_timings()
-    neg = NegReader(bg, 24, 24)
+    neg = NegReader(bg, 24, 24, lazy=True)
     consumed = [0]
     t0 = time.time()
     kept = tr._fill_negatives(neg, count, 1e-12, consumed)

@@ -24,9 +24,12 @@ import time
 import numpy as np
 
 
-def _make_data(td, n_pos):
+def _make_data(td, n_pos, n_bg=None, bg_h=None, bg_w=None):
     import cv2
 
+    n_bg = n_bg or int(os.environ.get("BENCH_TRAIN_BGS", "100"))
+    bg_h = bg_h or int(os.environ.get("BENCH_TRAIN_BG_H", "1080"))
+    bg_w = bg_w or int(os.environ.get("BENCH_TRAIN_BG_W", "1920"))
     rng = np.random.default_rng(42)
     # high-contrast object mark on a mid-gray card
     obj = np.full((48, 48), 200, np.uint8)
@@ -36,14 +39,20 @@ def _make_data(td, n_pos):
     cv2.imwrite(obj_path, obj)
 
     bg_list = []
-    for k in range(8):
+    density = max(1, (bg_h * bg_w) // 880)  # ~350 shapes per 640x480
+    for k in range(n_bg):
         # structured, object-confusable clutter (rectangles, rings,
         # bars): early stages then reject ~half the windows per stage
         # like real data, instead of FA=0 stages that starve the
-        # hard-negative miner
-        bg = np.full((480, 640), 128, np.uint8)
-        for _ in range(350):
-            x, y = int(rng.integers(0, 600)), int(rng.integers(0, 440))
+        # hard-negative miner. The corpus is sized to the scored regime
+        # (default 100 distinct 1080p backgrounds): late-stage mining
+        # must stream ~10^8-10^9 candidate windows, like the
+        # reference's fillPassedSamples over a real photo corpus
+        # (cascadeclassifier.cpp:329-357).
+        bg = np.full((bg_h, bg_w), 128, np.uint8)
+        for _ in range(density):
+            x = int(rng.integers(0, bg_w - 40))
+            y = int(rng.integers(0, bg_h - 40))
             s = int(rng.integers(8, 60))
             g = int(rng.integers(0, 256))
             kind = rng.integers(0, 3)

@@ -40,10 +40,56 @@ def read_bg_list(path: str):
     return names
 
 
-class NegReader:
-    """Streaming negative miner; ``get()`` yields one (h, w) uint8 window."""
+class LazyLevel:
+    """A scheduled (image, scale) level whose resized pixels materialize
+    on first host access.
 
-    def __init__(self, bg_path: str, win_w: int, win_h: int, imread=None):
+    Device-side dense mining builds the level ON-CHIP from the uploaded
+    source (gather-resize twin of resize_linear_exact), so for most
+    levels the host never resizes at all — only levels that contribute
+    accepted windows pay the exact host resize (the crop in
+    CascadeTrainer._fill_negatives). At late-stage acceptance (< 1e-4)
+    that removes ~all host resize wall-clock from the mining loop."""
+
+    __slots__ = ("src", "src_id", "w", "h", "_img")
+
+    def __init__(self, src, src_id, w, h):
+        self.src = src
+        self.src_id = src_id
+        self.w, self.h = int(w), int(h)
+        self._img = None
+
+    @property
+    def shape(self):
+        return (self.h, self.w)
+
+    @property
+    def size(self):
+        return self.h * self.w
+
+    def materialize(self) -> np.ndarray:
+        if self._img is None:
+            self._img = resize_linear_exact_np(self.src, self.w, self.h)
+        return self._img
+
+    def __getitem__(self, sl):
+        return self.materialize()[sl]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.materialize()
+        return np.asarray(a, dtype=dtype)
+
+
+class NegReader:
+    """Streaming negative miner; ``get()`` yields one (h, w) uint8 window.
+
+    lazy=True: scheduled levels are LazyLevel descriptors (shape-only on
+    the host); the schedule arithmetic needs only sizes, so the exact
+    resize runs on-device during dense mining and on-host only for
+    accepted-window crops."""
+
+    def __init__(self, bg_path: str, win_w: int, win_h: int, imread=None,
+                 lazy: bool = False):
         self.filenames = read_bg_list(bg_path)
         if not self.filenames:
             raise FileNotFoundError(f"no backgrounds in {bg_path}")
@@ -55,11 +101,33 @@ class NegReader:
         self.scale = np.float32(1.0)
         self.last = 0
         self.round = 0
+        self.lazy = lazy
+        self.src_id = -1
         if imread is None:
             import cv2
 
             imread = lambda p: cv2.imread(p, 0)  # noqa: E731
-        self._imread = imread
+        self._raw_imread = imread
+        self._src_cache = {}
+
+    # decoded-source cache: the round-robin schedule re-reads every
+    # background once per pass — hundreds of passes at late-stage
+    # acceptance re-decode the same files (the reference re-imreads too,
+    # imagestorage.cpp:57-88, but pays it in its own wall-clock)
+    SRC_CACHE_CAP = 256
+
+    def _imread(self, path):
+        img = self._src_cache.get(path)
+        if img is None:
+            img = self._raw_imread(path)
+            if img is not None and len(self._src_cache) < self.SRC_CACHE_CAP:
+                self._src_cache[path] = img
+        return img
+
+    def _resize(self, w, h):
+        if self.lazy:
+            return LazyLevel(self.src, self.src_id, w, h)
+        return resize_linear_exact_np(self.src, w, h)
 
     # -- schedule (mirrors NegReader::nextImg / ::get) ----------------------
 
@@ -69,6 +137,7 @@ class NegReader:
         off = (0, 0)
         for _ in range(count):
             src = self._imread(self.filenames[self.last])
+            src_id = self.last
             self.last += 1
             if src is None or src.size == 0:
                 self.last %= count
@@ -86,6 +155,7 @@ class NegReader:
         if src is None:
             return False
         self.src = src
+        self.src_id = src_id
         self.point = self.offset = off
         rows, cols = src.shape
         self.scale = np.float32(
@@ -96,7 +166,7 @@ class NegReader:
         )
         sz_w = int(self.scale * cols + 0.5)
         sz_h = int(self.scale * rows + 0.5)
-        self.img = resize_linear_exact_np(src, sz_w, sz_h)
+        self.img = self._resize(sz_w, sz_h)
         return True
 
     def _advance(self) -> bool:
@@ -115,8 +185,8 @@ class NegReader:
                 self.scale = np.float32(self.scale * SCALE_FACTOR)
                 if self.scale <= 1.0:
                     rows, cols = self.src.shape
-                    self.img = resize_linear_exact_np(
-                        self.src, int(self.scale * cols), int(self.scale * rows)
+                    self.img = self._resize(
+                        int(self.scale * cols), int(self.scale * rows)
                     )
                 else:
                     if not self._next_img():
@@ -140,11 +210,11 @@ class NegReader:
     def state(self):
         """Snapshot of the schedule state (images by reference)."""
         return (self.src, self.img, self.point, self.offset, self.scale,
-                self.last, self.round)
+                self.last, self.round, self.src_id)
 
     def set_state(self, st):
         (self.src, self.img, self.point, self.offset, self.scale,
-         self.last, self.round) = st
+         self.last, self.round, self.src_id) = st
 
     def level_positions(self):
         """The remaining windows of the current (image, scale) level:

@@ -83,3 +83,77 @@ def resize_linear_exact_np(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarra
         h, np.minimum(sys_ + 1, sh - 1), axis=-2
     )
     return np.minimum((v + (1 << 15)) >> 16, 255).astype(np.uint8)
+
+
+def _axis_tab_dev(ssz, sbound, dsz, off, out_n: int):
+    """Device twin of _axis_tab with an origin shift.
+
+    Returns (idx0, idx1, coef) int32 arrays for output coords
+    off..off+out_n-1 of an (ssz → dsz) INTER_LINEAR_EXACT axis; ssz,
+    dsz, off are traced scalars, so ONE compiled program serves every
+    mining level of a geometry bucket (host tables would cost a tunnel
+    upload per level). sbound clamps idx1 for sources padded wider than
+    ssz. Integer round-half-even identical to the Fraction math of
+    _axis_tab (tested value-for-value in tests/test_resize.py)."""
+    d = jax.lax.iota(jnp.int32, out_n) + off
+    two = 2 * dsz
+    num = (2 * d + 1) * ssz - dsz  # = fx · 2·dsz
+    sx = jnp.floor_divide(num, two)
+    rem = num - sx * two  # ∈ [0, 2·dsz)
+    a = 128 * rem  # coef·dsz = frac·256·dsz / 2 → a / dsz
+    q = jnp.floor_divide(a, dsz)
+    r = a - q * dsz
+    c = q + (
+        (2 * r > dsz) | ((2 * r == dsz) & (q % 2 == 1))
+    ).astype(jnp.int32)
+    neg = sx < 0
+    sx = jnp.where(neg, 0, sx)
+    c = jnp.where(neg, 0, c)
+    hi = sx >= ssz - 1
+    sx = jnp.where(hi, jnp.maximum(ssz - 2, 0), sx)
+    c = jnp.where(hi, jnp.where(ssz > 1, 256, 0), c)
+    oob = d >= dsz  # slot rows past the level (caller masks the output)
+    sx = jnp.where(oob, 0, sx)
+    c = jnp.where(oob, 0, c)
+    return sx, jnp.minimum(sx + 1, sbound - 1), c
+
+
+def _build_level_one(src, sh, sw, dh, dw, oy, ox, hp: int, wp: int):
+    """One origin-shifted resized mining level slot, on device.
+
+    src: (Hs, Ws) uint8 (true size (sh, sw), zero-padded); output
+    (hp, wp) uint8 = resize_linear_exact(src)[oy:oy+hp, ox:ox+wp] with
+    zeros past the level bounds. Both interpolation passes stay exact
+    integers in uint32 (coef ≤ 256, pixel ≤ 255 ⇒ v < 2^25), so pass
+    order is free: rows first, then columns via transpose + row gather
+    (lane gathers are pathological on the VPU; row gathers move whole
+    contiguous rows)."""
+    hs, ws = src.shape
+    ry0, ry1, cy = _axis_tab_dev(sh, hs, dh, oy, hp)
+    cx0, cx1, cx = _axis_tab_dev(sw, ws, dw, ox, wp)
+    s = src.astype(jnp.uint32)
+    cyu = cy.astype(jnp.uint32)
+    cxu = cx.astype(jnp.uint32)
+    v = (256 - cyu)[:, None] * jnp.take(s, ry0, axis=0) + cyu[
+        :, None
+    ] * jnp.take(s, ry1, axis=0)  # (hp, Ws) exact integers
+    vt = v.T  # (Ws, hp)
+    h = (256 - cxu)[:, None] * jnp.take(vt, cx0, axis=0) + cxu[
+        :, None
+    ] * jnp.take(vt, cx1, axis=0)  # (wp, hp)
+    out = jnp.minimum((h + (1 << 15)) >> 16, 255).astype(jnp.uint8).T
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    return jnp.where((ri < dh - oy) & (ci < dw - ox), out, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "wp"))
+def build_level_stack(src_stack, params, hp: int, wp: int):
+    """(L, Hs, Ws) uint8 sources + (6, L) int32 scalar params
+    [sh, sw, dh, dw, oy, ox] → (L, hp, wp) uint8 origin-shifted resized
+    level slots (dense-mining stack input). One program per (source
+    bucket, slot bucket) geometry."""
+    f = lambda src, p: _build_level_one(  # noqa: E731
+        src, p[0], p[1], p[2], p[3], p[4], p[5], hp, wp
+    )
+    return jax.vmap(f, in_axes=(0, 1))(src_stack, params)

@@ -57,6 +57,7 @@ def _haar_eval_program(rows, cols, vals, sum_rows, nf, p):
     return jnp.where(nfb != 0.0, raw / jnp.where(nfb == 0.0, 1.0, nfb), 0.0)
 
 
+
 def _haar_scatter_args(offsets, weights):
     b = offsets.shape[0]
     sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
@@ -80,6 +81,23 @@ def _rect_corner_matrix(rect_offsets: np.ndarray, p: int):
         .at[jnp.asarray(rows), jnp.asarray(rect_offsets.ravel())]
         .add(jnp.asarray(np.tile(sign, r)))
     )
+
+
+@functools.partial(jax.jit, static_argnames=("need_tilted",))
+def _haar_sample_state(x, need_tilted):
+    """ONE program for the whole per-batch sample state (integral rows,
+    int rows, norm factors, tilted rows): set_samples previously ran
+    these compositions eagerly — dozens of per-op dispatches through
+    the remote device link per mining chunk, the dominant dense-mining
+    cost (~16 s per 65K-window superbatch measured on the tunnel)."""
+    s = integral_image(x)
+    sq = integral_sq(x, dtype=jnp.int32)
+    flat = s.reshape(s.shape[0], -1)
+    tilt = None
+    if need_tilted:
+        t = integral_tilted(x)
+        tilt = t.reshape(t.shape[0], -1).astype(jnp.float32)
+    return flat.astype(jnp.float32), flat, window_norm_factor(s, sq), tilt
 
 
 class HaarTrainEvaluator:
@@ -107,15 +125,12 @@ class HaarTrainEvaluator:
     def set_samples(self, samples: np.ndarray):
         """samples: (N, h, w) uint8 → caches integral rows + norm factors."""
         x = jnp.asarray(samples)
-        s = integral_image(x)
-        sq = integral_sq(x, dtype=jnp.int32)
-        self.sum_rows = s.reshape(s.shape[0], -1).astype(jnp.float32)
-        self.sum_rows_i = s.reshape(s.shape[0], -1)
-        self.nf = window_norm_factor(s, sq)
+        self.sum_rows, self.sum_rows_i, self.nf, tilt = _haar_sample_state(
+            x, self.need_tilted
+        )
         if self.need_tilted:
-            t = integral_tilted(x)
-            self.tilt_rows = t.reshape(t.shape[0], -1).astype(jnp.float32)
-        self.n = int(s.shape[0])
+            self.tilt_rows = tilt
+        self.n = int(x.shape[0])
 
     def num_blocks(self):
         return (self.num_features + self.block_size - 1) // self.block_size
@@ -160,6 +175,12 @@ class HaarTrainEvaluator:
         return self._eval_features(np.asarray(var_ids, np.int64))
 
 
+@jax.jit
+def _lbp_sample_state(x):
+    s = integral_image(x)
+    return s.reshape(s.shape[0], -1).astype(jnp.float32)
+
+
 class LBPTrainEvaluator:
     """Evaluates LBP codes (0..255) for sample batches, block by block.
 
@@ -192,9 +213,8 @@ class LBPTrainEvaluator:
 
     def set_samples(self, samples: np.ndarray):
         x = jnp.asarray(samples)
-        s = integral_image(x)
-        self.sum_rows = s.reshape(s.shape[0], -1).astype(jnp.float32)
-        self.n = int(s.shape[0])
+        self.sum_rows = _lbp_sample_state(x)
+        self.n = int(x.shape[0])
 
     def num_blocks(self):
         return (self.num_features + self.block_size - 1) // self.block_size
@@ -224,6 +244,11 @@ class LBPTrainEvaluator:
         return self._codes(self._cell_rects[ids])
 
 
+@jax.jit
+def _hog_sample_state(x):
+    return hog_integral_histogram(x)
+
+
 class HOGTrainEvaluator:
     """Evaluates HOG descriptor components (36 vars/feature) block by block.
 
@@ -246,7 +271,7 @@ class HOGTrainEvaluator:
 
     def set_samples(self, samples: np.ndarray):
         x = jnp.asarray(samples)
-        hist, norm = hog_integral_histogram(x)
+        hist, norm = _hog_sample_state(x)
         n = x.shape[0]
         self.hist_rows = hist.reshape(n, 9, -1)
         self.norm_rows = norm.reshape(n, -1)

@@ -341,7 +341,9 @@ class CascadeTrainer:
         # remaining host work is one exact resize per (image, scale)
         # level. NativeNegReader (data/native.py) stays byte-equivalent
         # for take_batch consumers (tools, tests).
-        neg = NegReader(bg_path, self.win_w, self.win_h)
+        # lazy: levels materialize on host only for accepted-window
+        # crops; dense mining builds them on-device from the source
+        neg = NegReader(bg_path, self.win_w, self.win_h, lazy=True)
 
         resumed = self.load(data_dir)
         if resumed and verbose:

@@ -613,3 +613,89 @@ def test_predict_levels_power_of_two_uniques():
             levels.append((img, pos, ("p2", n_uniq, i)))
         oks = pred.predict_levels(levels, 8, 8)
         assert len(oks) == n_uniq and all(o.all() for o in oks)
+
+
+def test_dense_grid_windows_byte_identical_to_crops():
+    """_grid_windows (the dense-mining reshape extraction) must emit
+    byte-identical windows to the host schedule crops for every grid
+    position — selection equivalence of dense mining reduces to this
+    (the predict chain itself is shared with the per-window path)."""
+    import numpy as np
+
+    from cascadeclassifier_tpu.train.predictor import _grid_windows
+
+    rng = np.random.default_rng(7)
+    for wh, ww, h, w, oy, ox in (
+        (12, 12, 80, 104, 5, 3),    # even window, off-lattice origin
+        (24, 24, 130, 97, 0, 0),    # slot crops the image tail
+        (32, 75, 200, 260, 7, 11),  # odd stride (sx=37, kx=3)
+    ):
+        sy, sx = wh // 2, ww // 2
+        ky, kx = -(-wh // sy), -(-ww // sx)
+        bh, bw = 8 * sy, 8 * sx
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        eh, ew = h - oy, w - ox
+        if eh < wh or ew < ww:
+            continue
+        need_h = sy * ((eh - wh) // sy) + ky * sy
+        need_w = sx * ((ew - ww) // sx) + kx * sx
+        hp = -(-need_h // bh) * bh
+        wp = -(-need_w // bw) * bw
+        pad = np.zeros((1, hp, wp), np.uint8)
+        ch, cw = min(eh, hp), min(ew, wp)
+        pad[0, :ch, :cw] = img[oy : oy + ch, ox : ox + cw]
+        ny = hp // sy - ky + 1
+        nx = wp // sx - kx + 1
+        win = np.asarray(
+            _grid_windows(np.asarray(pad), sy, sx, wh, ww, ny, nx)
+        ).reshape(ny, nx, wh, ww)
+        for j in range((eh - wh) // sy + 1):
+            for i in range((ew - ww) // sx + 1):
+                y, x = oy + j * sy, ox + i * sx
+                np.testing.assert_array_equal(
+                    win[j, i], img[y : y + wh, x : x + ww]
+                )
+
+
+def test_fill_negatives_lazy_reader_identical(tmp_path):
+    """NegReader(lazy=True) (the trainer default: levels resize
+    ON-DEVICE during dense mining, on-host only for accepted crops)
+    must select byte-identical negatives with identical consumption and
+    schedule position to the eager host-resize reader."""
+    import cv2
+
+    from cascadeclassifier_tpu.data.negreader import NegReader
+    from cascadeclassifier_tpu.models.model import Stage, WeakTree
+    from cascadeclassifier_tpu.train.trainer import CascadeTrainer
+
+    rng = np.random.default_rng(5)
+    names = []
+    for i, (h, w) in enumerate(((90, 120), (75, 64))):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        p = str(tmp_path / f"bg{i}.png")
+        cv2.imwrite(p, img)
+        names.append(p)
+    bg = str(tmp_path / "bg.txt")
+    with open(bg, "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    def stump(var, thr, ll, rr):
+        return WeakTree(
+            left=np.array([0], np.int32), right=np.array([-1], np.int32),
+            feature_idx=np.array([var], np.int32),
+            threshold=np.array([thr], np.float32),
+            leaf_values=np.array([ll, rr], np.float32),
+        )
+
+    tr = CascadeTrainer(mining_batch=700)
+    tr.stages = [Stage(threshold=0.0, trees=[stump(11, 0.0, -1.0, 1.0)])]
+
+    outs = []
+    for lazy in (False, True):
+        neg = NegReader(bg, 24, 24, lazy=lazy)
+        cc = [0]
+        kept = tr._fill_negatives(neg, 30, 0.0, cc)
+        outs.append((kept, cc[0], neg.take_batch(4)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
