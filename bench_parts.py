@@ -148,13 +148,16 @@ def main():
         if psplit is not None:
             planes = t.time("psplit", psplit, sum2d, sq2d)
         a_p = inv_p = a_b = inv_b = None
+        pblk = pnb = bblk = bnb = None
         if prep_plane is not None:
-            a_p, inv_p = t.time(
+            a_p, inv_p, pblk, pnb = t.time(
                 "prep_plane", prep_plane, planes[0], planes[1]
             )
         if prep_band is not None:
-            a_b, inv_b = t.time("prep_band", prep_band, sum2d, sq2d, tab)
-        state = (a_p, inv_p, a_b, inv_b)
+            a_b, inv_b, bblk, bnb = t.time(
+                "prep_band", prep_band, sum2d, sq2d, tab
+            )
+        state = (a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb)
         psum = planes[0] if planes is not None else None
         for i, f in enumerate(fronts):
             state = t.time(f"front[{i}]", f, sum2d, psum, state)
@@ -179,7 +182,7 @@ def main():
     # runs as one program; sums can exceed the fused time)
     p = eng._parts
     if os.environ.get("BENCH_TAIL_PARTS", "1") == "1" and p["nz_plane"]:
-        a_p, inv_p, a_b, inv_b = state
+        a_p, inv_p, a_b, inv_b = state[0], state[1], state[4], state[5]
         g = p["geom"]
         idxp, _ = t.time("  nz_plane", p["nz_plane"], a_p != 0)
         bm = a_b[: g["out_h"] - g["row_lo"], : g["out_w"]] != 0

@@ -376,7 +376,8 @@ def _nonzero_1d(alive_i32, n_out):
 
 
 def make_tail_compact_fn(packed, start_stage, exact, n0,
-                         shrink_every: int = 2, n_floor: int = 4096):
+                         shrink_every: int = 2, n_floor: int = 4096,
+                         slot_major: bool = False):
     """Re-compacting MXU tail: like make_tail_fn, but every
     ``shrink_every`` stages the surviving patch rows are gathered into a
     half-sized batch, so late stages run on thousands of windows instead
@@ -387,12 +388,19 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
         (widx (n_last,) i32  — original tail-row index per survivor slot,
          alive (n_last,) bool, overflow bool)
     Static shrink schedule; ``overflow`` reports any step where live
-    windows exceeded the next capacity (caller falls back)."""
+    windows exceeded the next capacity (caller falls back).
+
+    slot_major: ps is the emit="limbs_rel_slot" tuple from
+    make_pallas_patchify — rows hold window w' = s·(n0/8) + q for
+    original window w = q·8 + s, patch cells on the stride-32 grid. inv
+    stays in w order (permuted here); returned widx is mapped back to w
+    order, so callers are layout-agnostic."""
     stage_ids = list(range(start_stage, len(packed.stages)))
     per_stage = []
     for si in stage_ids:
         a_sum, a_tilt, wts, (thr, ll, rr), _, sthr = _pack_tail(
-            packed.stages, [si], packed.win_w, packed.win_h
+            packed.stages, [si], packed.win_w, packed.win_h,
+            stride=32 if slot_major else None,
         )
         per_stage.append((
             jnp.asarray(a_sum, jnp.bfloat16),
@@ -408,8 +416,18 @@ def make_tail_compact_fn(packed, start_stage, exact, n0,
     def tail(ps, pt, inv, cnt):
         acc_dt = jnp.float64 if exact else jnp.float32
         n = n0
-        alive = jnp.arange(n) < cnt
-        widx = jnp.arange(n, dtype=jnp.int32)
+        if slot_major:
+            # row w' holds original window (w' % n8)·8 + (w' // n8)
+            w_of_row = (
+                (jnp.arange(n, dtype=jnp.int32) % (n // 8)) * 8
+                + jnp.arange(n, dtype=jnp.int32) // (n // 8)
+            )
+            alive = w_of_row < cnt
+            inv = inv.reshape(n // 8, 8).T.reshape(-1)
+            widx = w_of_row
+        else:
+            alive = jnp.arange(n) < cnt
+            widx = jnp.arange(n, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
         # ps/pt: (n, P) int32 patches, or pre-extracted bf16 limb planes
         # from the patchify kernel (emit="limbs_abs"/"limbs_rel"); the
@@ -637,7 +655,7 @@ def make_patchify_fn(win_w, win_h, need_tilt):
 
 
 def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
-                         interpret=False, g_windows=64, d_inflight=16,
+                         interpret=False, g_windows=256, d_inflight=48,
                          emit="i32"):
     """Pallas patch extractor:
     fn(canvas_pad, r, c, cnt) -> (n, (win_h+1)*(win_w+1)).
@@ -668,24 +686,30 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
     ph, pw = win_h + 1, win_w + 1
     assert pw <= 32 and ph <= 32, "pallas patchify supports windows <= 31"
     PH8 = -(-ph // 8) * 8
-    rows = PH8 + 8  # HBM slices must be 8-row aligned: base + phase room
+    # HBM slices must be 8-row aligned: base + phase room. The DMA only
+    # needs ph + 7 rows (phase ≤ 7); PH8 + 8 when the roll's kept rows
+    # would otherwise wrap
+    rows = max(PH8, -(-(ph + 7) // 8) * 8)
     G = g_windows if n >= g_windows else n  # windows per grid step
     D = min(d_inflight, G)  # in-flight canvas DMAs (hides per-DMA latency)
     RCW = max(256, 1 << int(np.ceil(np.log2(2 * G + 1))))  # rc row lanes
     assert n % G == 0
 
-    def kernel(rc_hbm, canvas_hbm, out_hbm, rcbuf, bufs, pbuf,
+    def kernel(cnt_ref, rc_hbm, canvas_hbm, out_hbm, rcbuf, bufs, pbuf,
                sem_rc, sems, sem_out):
         g = pl.program_id(0)
-
-        cp_rc = pltpu.make_async_copy(
-            rc_hbm.at[pl.ds(g * 8, 8), :], rcbuf, sem_rc
-        )
-        cp_rc.start()
-        cp_rc.wait()
-        cnt = rcbuf[0, 2 * G]
+        cnt = cnt_ref[0]
 
         def block_body():
+            # the coordinate DMA sits INSIDE the live guard: with it
+            # outside, every capacity grid step paid the DMA issue+wait
+            # (~6 µs/step — measured as a ~6 ms cnt-independent floor at
+            # the 1080p tail capacity)
+            cp_rc = pltpu.make_async_copy(
+                rc_hbm.at[pl.ds(g * 8, 8), :], rcbuf, sem_rc
+            )
+            cp_rc.start()
+            cp_rc.wait()
             # no per-window validity conds: callers zero r/c past cnt, so
             # every slot's DMA is in-bounds and slots past cnt just
             # extract garbage the tail masks off via its own cnt bound —
@@ -752,7 +776,7 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         jax.lax.cond(g * G < cnt, block_body, lambda: None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(n // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -782,21 +806,45 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
         if cnt is None:
             cnt = jnp.int32(n)
         # one (8, RCW) block per grid step, data in row 0:
-        # [r_0..r_{G-1}, c_0..c_{G-1}, cnt, 0...]
+        # [r_0..r_{G-1}, c_0..c_{G-1}, 0...]; cnt rides as a scalar-
+        # prefetch operand so dead grid steps skip even the coord DMA
         row = jnp.concatenate(
             [
                 r.reshape(-1, G),
                 c.reshape(-1, G),
-                jnp.broadcast_to(
-                    jnp.asarray(cnt, jnp.int32).reshape(1, 1), (n // G, 1)
-                ),
-                jnp.zeros((n // G, RCW - 2 * G - 1), jnp.int32),
+                jnp.zeros((n // G, RCW - 2 * G), jnp.int32),
             ],
             axis=1,
         ).astype(jnp.int32)
         rc = jnp.zeros((n // G, 8, RCW), jnp.int32).at[:, 0, :].set(row)
         rc = rc.reshape(n // G * 8, RCW)
-        raw = call(rc, canvas_pad)                   # (n/8*PH8, 256)
+        cnt_a = jnp.asarray(cnt, jnp.int32).reshape(1)
+        raw = call(cnt_a, rc, canvas_pad)            # (n/8*PH8, 256)
+        if emit == "limbs_rel_slot":
+            # Slot-major limb planes WITHOUT the octet transpose: the
+            # (n/8, PH8, 8, 32) → (n/8, 8, PH8, 32) relayout costs ~6 ms
+            # at 1080p survivor capacity (measured; XLA moves the 32-lane
+            # blocks at ~11% of HBM bandwidth) while 8 lane-slices +
+            # concat run at full rate. The price is a permuted window
+            # order — row w' = s·(n/8) + q holds original window
+            # w = q·8 + s — and a stride-32 patch layout p' = i·32 + j;
+            # make_tail_compact_fn(slot_major=True) builds its corner
+            # matrices on that grid and maps widx back (_pack_tail's
+            # `stride`).
+            n8 = n // 8
+            corner = raw[::PH8, ::32]                # (n8, 8) patch[0,0]
+            outs = [[], [], []]
+            for s in range(8):
+                sl = jax.lax.slice(
+                    raw, (0, 32 * s), (raw.shape[0], 32 * s + 32)
+                ).reshape(n8, PH8, 32)
+                rel = (sl - corner[:, s][:, None, None])[:, :ph, :]
+                rel = rel.reshape(n8, ph * 32)
+                for l in range(3):
+                    outs[l].append(
+                        ((rel >> (8 * l)) & 0xFF).astype(jnp.bfloat16)
+                    )
+            return tuple(jnp.concatenate(o, axis=0) for o in outs)
         raw = raw.reshape(n // 8, PH8, 8, 32)
         raw = jnp.transpose(raw, (0, 2, 1, 3))       # (n/8, 8, PH8, 32)
         raw = raw.reshape(n, PH8, 32)[:, :ph, :pw]
@@ -818,7 +866,9 @@ def make_pallas_patchify(win_w, win_h, canvas_h, canvas_w, n,
             for l in range(4)
         )
 
-    return jax.jit(run), (rows, ph * pw)
+    return jax.jit(run), (
+        rows, ph * 32 if emit == "limbs_rel_slot" else ph * pw
+    )
 
 
 def padded_canvas_shape(H, W, win_h, min_h: int = 0, min_w: int = 0,

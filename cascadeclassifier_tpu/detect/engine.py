@@ -247,16 +247,43 @@ class FusedEngine:
         nonzero_tail = nonzero_det = tail_fn = sparse_det = None
         if n_dense < n_stages:
             nonzero_tail = make_nonzero_fn(out_h, out_w, tail_n, grid_rows)
-            mk = make_tail_compact_fn if is_haar else make_lbp_tail_compact_fn
-            tail_fn = mk(packed, n_dense, exact, tail_n)
-            if use_pallas:
+            # slot-major limb planes (emit="limbs_rel_slot") skip the
+            # patchify kernel's octet transpose, but measured on-chip the
+            # transpose is NOT the bottleneck (grid-step overhead is) and
+            # the +28% stride-32 contraction width costs ~0.9 ms in the
+            # tail matmuls — so the default stays on the tight layout;
+            # CCTPU_SLOT_LIMBS=1 re-enables the alternative
+            slot = (
+                (use_pallas or self.interpret) and is_haar and not tilted
+                and os.environ.get("CCTPU_SLOT_LIMBS", "0") == "1"
+            )
+            if is_haar:
+                tail_fn = make_tail_compact_fn(
+                    packed, n_dense, exact, tail_n, slot_major=slot
+                )
+            else:
+                tail_fn = make_lbp_tail_compact_fn(
+                    packed, n_dense, exact, tail_n
+                )
+            # the patchify kernel supports windows ≤ 31 px (one 32-lane
+            # output slot per window); larger windows (75×32 LBP text
+            # cascades) take the XLA dynamic-slice extractor on any
+            # backend. Interpret mode uses the kernel too so CPU tests
+            # cover the production TPU path.
+            fits_ppatch = packed.win_w <= 31 and packed.win_h <= 31
+            use_ppatch = (use_pallas or self.interpret) and fits_ppatch
+            if use_ppatch:
                 # the kernel emits the MXU tail's bf16 limb planes
-                # directly (transpose + limb selects fused; the int32
-                # patch matrix never hits HBM)
+                # directly (limb selects fused into the kernel-output
+                # epilogue; the int32 patch matrix never hits HBM)
                 ppatch, _ = make_pallas_patchify(
                     packed.win_w, packed.win_h,
                     plan.canvas_h, plan.canvas_w, tail_n,
-                    emit="limbs_abs" if tilted else "limbs_rel",
+                    emit=(
+                        "limbs_abs" if tilted
+                        else "limbs_rel_slot" if slot else "limbs_rel"
+                    ),
+                    interpret=self.interpret,
                 )
             else:
                 xpatch = make_patchify_fn(packed.win_w, packed.win_h, tilted)
@@ -269,10 +296,28 @@ class FusedEngine:
             nonzero_det = make_nonzero_fn(out_h, out_w, max_det, grid_rows)
         if use_static_front:
             from cascadeclassifier_tpu.detect.pallas_front import (
+                BLK_H,
+                BLK_W,
                 front_pad_geometry,
+                live_block_list,
+                make_packed_band_front_fn,
+                make_packed_plane_front_fn,
                 make_plane_front_fn,
                 make_static_front_fn,
                 plane_pad_geometry,
+            )
+
+            # survivor-packed front (measured experiment, default OFF):
+            # the kernels walk a 16×512 live-block list instead of the
+            # full canvas. On-chip at 1080p it ran 36.7 ms vs 18.8 dense
+            # — per-block overheads (serial DMA latency, per-stage guard
+            # reductions, cond scheduling barriers ≈ 15-40 µs/block)
+            # dwarf the dense kernel's ~5 µs/tile amortized cost, and
+            # the ~25-45% live-block fraction cannot recoup them. Kept
+            # behind CCTPU_PACKED_FRONT=1 with interpret-mode parity
+            # coverage; BENCHMARKS.md records the numbers.
+            use_packed_front = (
+                os.environ.get("CCTPU_PACKED_FRONT", "0") == "1"
             )
 
             fp_hp, fp_wp, fp_hh, fp_hw = front_pad_geometry(
@@ -478,7 +523,8 @@ class FusedEngine:
             p_maxc_np[ok_r] = plan.row_maxc[er[ok_r]] >> 1
 
             def prep_plane(planes_sum, planes_sq):
-                """Gate + stage 0 + walk on the anchor plane."""
+                """Gate + stage 0 + walk on the anchor plane (+ the
+                live-block list feeding the packed front)."""
                 gate, inv_p = plane_variance_gate(
                     planes_sum, planes_sq, packed.win_w, packed.win_h,
                     pg_h2, pg_w2,
@@ -497,8 +543,14 @@ class FusedEngine:
                     >= jnp.float32(st0.threshold)
                 )
                 visited = parity_visited(gate & (~passed0), grid, ordinal)
-                a_p = (gate & grid & passed0 & visited).astype(jnp.int8)
-                return a_p, inv_p
+                alive = gate & grid & passed0 & visited
+                if not use_packed_front:
+                    return alive.astype(jnp.int8), inv_p, None, None
+                a_p = alive.astype(jnp.int32)
+                blk, nblk = live_block_list(
+                    a_p, (pg_h2 // BLK_H) * (pg_w2 // BLK_W)
+                )
+                return a_p, inv_p, blk, nblk.reshape(1)
         else:
             prep_plane = None
 
@@ -533,17 +585,23 @@ class FusedEngine:
                 alive = (
                     gate & grid & passed0 & visited & (~st2[:, None])
                 )
+                mdt = jnp.int32 if use_packed_front else jnp.int8
                 a_b = (
-                    jnp.zeros((hb, fp_wp), jnp.int8)
+                    jnp.zeros((hb, fp_wp), mdt)
                     .at[:hbr, :out_w]
-                    .set(alive.astype(jnp.int8))
+                    .set(alive.astype(mdt))
                 )
                 inv_b = (
                     jnp.ones((hb, fp_wp), jnp.float32)
                     .at[:hbr, :out_w]
                     .set(inv_r)
                 )
-                return a_b, inv_b
+                if not use_packed_front:
+                    return a_b, inv_b, None, None
+                blk, nblk = live_block_list(
+                    a_b, (hb // BLK_H) * (fp_wp // BLK_W)
+                )
+                return a_b, inv_b, blk, nblk.reshape(1)
         else:
             prep_band = None
 
@@ -572,7 +630,7 @@ class FusedEngine:
         def stitch(state):
             """Plane-layout + band survivor masks → full (out_h, out_w)
             grid. A separate program (see mask_split)."""
-            a_p, _, a_b, _ = state
+            a_p, a_b = state[0], state[4]
             alive = jnp.zeros((out_h, out_w), bool)
             if has_plane:
                 # interleave the plane mask back onto even (r, c):
@@ -603,7 +661,7 @@ class FusedEngine:
             from cascadeclassifier_tpu.detect.compact import _nonzero_1d
 
             oflow = (cnt > tail_n) | extra_oflow
-            if use_pallas:
+            if use_ppatch:
                 ps = ppatch(sum2d, r, c, cnt)
                 pt = ppatch(tilt2d, r, c, cnt) if tilted else ps
             else:
@@ -650,7 +708,9 @@ class FusedEngine:
             """Split-tail variant: survivors (and their 1/normfactor)
             extracted straight from the plane-layout and band arrays (see
             nz_plane/nz_band above)."""
-            a_p, inv_p, a_b, inv_b = state
+            a_p, inv_p, a_b, inv_b = (
+                state[0], state[1], state[4], state[5]
+            )
             q = jnp.arange(tail_n, dtype=jnp.int32)
             blk_oflow = jnp.zeros((), bool)
             cntp = (
@@ -691,13 +751,31 @@ class FusedEngine:
 
             def make_static_chunk(ids):
                 plane_fn = band_fn = None
-                if has_plane:
+                if has_plane and use_packed_front:
+                    plane_fn = make_packed_plane_front_fn(
+                        packed.stages, ids, packed.win_w, packed.win_h,
+                        split_r, out_w,
+                        (pg_h2 // BLK_H) * (pg_w2 // BLK_W),
+                        self.TILE_H, self.TILE_W,
+                        interpret=self.interpret,
+                    )[0]
+                elif has_plane:
                     plane_fn = make_plane_front_fn(
                         packed.stages, ids, packed.win_w, packed.win_h,
                         split_r, out_w, self.TILE_H, self.TILE_W,
                         interpret=self.interpret,
                     )[0]
-                if has_band:
+                if has_band and use_packed_front:
+                    hb_cap = (
+                        ((fp_hp - row_lo) // BLK_H) * (fp_wp // BLK_W)
+                    )
+                    band_fn = make_packed_band_front_fn(
+                        packed.stages, ids, packed.win_w, packed.win_h,
+                        plan.canvas_h, plan.canvas_w, hb_cap,
+                        self.TILE_H, self.TILE_W,
+                        interpret=self.interpret, row_lo=row_lo,
+                    )[0]
+                elif has_band:
                     band_fn = make_static_front_fn(
                         packed.stages, ids, packed.win_w, packed.win_h,
                         plan.canvas_h, plan.canvas_w,
@@ -706,12 +784,16 @@ class FusedEngine:
                     )[0]
 
                 def front(sum2d, planes, state):
-                    a_p, inv_p, a_b, inv_b = state
-                    if plane_fn is not None:
+                    a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb = state
+                    if plane_fn is not None and use_packed_front:
+                        a_p = plane_fn(planes, inv_p, a_p, pblk, pnb)
+                    elif plane_fn is not None:
                         a_p = plane_fn(planes, inv_p, a_p)
-                    if band_fn is not None:
+                    if band_fn is not None and use_packed_front:
+                        a_b = band_fn(sum2d, inv_b, a_b, bblk, bnb)
+                    elif band_fn is not None:
                         a_b = band_fn(sum2d, inv_b, a_b)
-                    return a_p, inv_p, a_b, inv_b
+                    return a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb
 
                 return jax.jit(front)
 
@@ -732,7 +814,7 @@ class FusedEngine:
             "nz_band": nz_band,
             "nonzero_tail": nonzero_tail,
             "tail_fn": tail_fn,
-            "ppatch": ppatch if (n_dense < n_stages and use_pallas) else None,
+            "ppatch": ppatch if (n_dense < n_stages and use_ppatch) else None,
             "tail_n": tail_n,
             "geom": dict(
                 out_h=out_h, out_w=out_w,
@@ -810,11 +892,12 @@ class FusedEngine:
         if prep is None:  # static front: split-layout head
             planes = psplit(sum_b, sq_b) if psplit is not None else None
             a_p = inv_p = a_b = inv_b = None
+            pblk = pnb = bblk = bnb = None
             if prep_plane is not None:
-                a_p, inv_p = prep_plane(planes[0], planes[1])
+                a_p, inv_p, pblk, pnb = prep_plane(planes[0], planes[1])
             if prep_band is not None:
-                a_b, inv_b = prep_band(sum_b, sq_b, tab)
-            state_b = (a_p, inv_p, a_b, inv_b)
+                a_b, inv_b, bblk, bnb = prep_band(sum_b, sq_b, tab)
+            state_b = (a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb)
             pick = jax.tree_util.tree_map
             outs = []
             for i in range(F):
@@ -847,11 +930,12 @@ class FusedEngine:
         if prep is None:  # static front: split-layout head
             planes = psplit(sum2d, sq2d) if psplit is not None else None
             a_p = inv_p = a_b = inv_b = None
+            pblk = pnb = bblk = bnb = None
             if prep_plane is not None:
-                a_p, inv_p = prep_plane(planes[0], planes[1])
+                a_p, inv_p, pblk, pnb = prep_plane(planes[0], planes[1])
             if prep_band is not None:
-                a_b, inv_b = prep_band(sum2d, sq2d, tab)
-            state = (a_p, inv_p, a_b, inv_b)
+                a_b, inv_b, bblk, bnb = prep_band(sum2d, sq2d, tab)
+            state = (a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb)
             psum = planes[0] if planes is not None else None
             for f in fronts:
                 state = f(sum2d, psum, state)

@@ -281,6 +281,294 @@ def _run_stages(frozen, alive_in, inv, rect_sum, acc, th, tw):
     return a
 
 
+BLK_H = 16  # packed-front block rows (multiple of 8; divides tile pads)
+BLK_W = 512  # packed-front block lanes
+
+
+def make_packed_plane_front_fn(
+    stages,
+    stage_ids,
+    win_w: int,
+    win_h: int,
+    split_r: int,
+    out_w: int,
+    nb_cap: int,
+    tile_h: int = 128,
+    tile_w: int = 512,
+    interpret: bool = False,
+):
+    """Survivor-packed variant of make_plane_front_fn: the grid walks a
+    block LIST (16×512 anchor-plane blocks holding ≥1 live window after
+    prep) instead of the full plane, so dense VPU work scales with the
+    live-block fraction (~25-45% at 1080p bench survivor clustering)
+    rather than the canvas area. Steps past `nblk` cost one scalar
+    compare; the alive mask input is aliased to the output so dead
+    blocks keep their zeros and downstream consumers see the ordinary
+    full-layout mask.
+
+    tile_h/tile_w: the DENSE kernels' tile geometry — mask/canvas pads
+    are computed with it so the packed kernel is a drop-in on the same
+    arrays (BLK_H×BLK_W blocks subdivide those pads).
+
+    fn(planes (2,2,H2,W2) i32, inv_p (hp2,wp2) f32, alive_p (hp2,wp2)
+    i32, blk (nb_cap,2) i32 block (row,col) indices, nblk) → alive_p'.
+    """
+    hp2, wp2, halo_h2, halo_w2 = plane_pad_geometry(
+        split_r, out_w, win_w, win_h, tile_h, tile_w
+    )
+    assert hp2 % BLK_H == 0 and wp2 % BLK_W == 0
+    th, tw = BLK_H, BLK_W
+    W = tw + halo_w2
+    frozen = _freeze_chunk(stages, stage_ids)
+
+    def kernel(blk_ref, nblk_ref, planes_hbm, inv_hbm, alive_hbm,
+               out_hbm, tiles, msk, inv_t, acc, sems, sem_out):
+        i = pl.program_id(0)
+
+        def live():
+            bi = blk_ref[i, 0]
+            bj = blk_ref[i, 1]
+            r0 = bi * th
+            c0 = bj * tw
+            cps = []
+            for a in range(2):
+                for b in range(2):
+                    cp = pltpu.make_async_copy(
+                        planes_hbm.at[
+                            a, b,
+                            pl.ds(r0, th + halo_h2),
+                            pl.ds(c0, W),
+                        ],
+                        tiles.at[2 * a + b],
+                        sems.at[2 * a + b],
+                    )
+                    cp.start()
+                    cps.append(cp)
+            cp_m = pltpu.make_async_copy(
+                alive_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)],
+                msk, sems.at[4],
+            )
+            cp_m.start()
+            cp_i = pltpu.make_async_copy(
+                inv_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)],
+                inv_t, sems.at[5],
+            )
+            cp_i.start()
+            for cp in cps:
+                cp.wait()
+            cp_m.wait()
+            cp_i.wait()
+            inv = inv_t[:]
+            alive_in = msk[:]
+
+            def rect_sum(x, y, w, h, cache):
+                a1, i1 = y & 1, y >> 1
+                a2, i2 = (y + h) & 1, (y + h) >> 1
+                b1, j1 = x & 1, x >> 1
+                b2, j2 = (x + w) & 1, (x + w) >> 1
+
+                def rd(b):
+                    k1, k2 = 2 * a1 + b, 2 * a2 + b
+                    key = (k1, i1, k2, i2)
+                    d = cache.get(key)
+                    if d is None:
+                        d = (
+                            tiles[k1][i1 : i1 + th, :]
+                            - tiles[k2][i2 : i2 + th, :]
+                        )
+                        cache[key] = d
+                    return d
+
+                return (
+                    rd(b1)[:, j1 : j1 + tw] - rd(b2)[:, j2 : j2 + tw]
+                )
+
+            msk[:] = _run_stages(
+                frozen, alive_in, inv, rect_sum, acc, th, tw
+            )
+            cp_o = pltpu.make_async_copy(
+                msk, out_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)], sem_out
+            )
+            cp_o.start()
+            cp_o.wait()
+
+        jax.lax.cond(i < nblk_ref[0], live, lambda: None)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((4, BLK_H + halo_h2, W), jnp.int32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.int32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.float32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hp2, wp2), jnp.int32),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def run(planes, inv_p, alive_p, blk, nblk):
+        return call(blk, nblk, planes, inv_p, alive_p)
+
+    return jax.jit(run), (hp2, wp2, halo_h2, halo_w2)
+
+
+def make_packed_band_front_fn(
+    stages,
+    stage_ids,
+    win_w: int,
+    win_h: int,
+    canvas_h: int,
+    canvas_w: int,
+    nb_cap: int,
+    tile_h: int = 128,
+    tile_w: int = 512,
+    interpret: bool = False,
+    row_lo: int = 0,
+):
+    """Survivor-packed variant of make_static_front_fn for the ystep-1
+    band (full density): grid walks live 16×512 blocks of the band mask;
+    see make_packed_plane_front_fn.
+
+    fn(sum_pad i32, inv_b (hp-row_lo,wp) f32, alive_b (hp-row_lo,wp)
+    i32, blk (nb_cap,2) i32, nblk) → alive_b'."""
+    hp, wp, halo_h, halo_w = front_pad_geometry(
+        canvas_h, canvas_w, win_w, win_h, tile_h, tile_w
+    )
+    assert row_lo % BLK_H == 0 and row_lo < hp
+    assert (hp - row_lo) % BLK_H == 0 and wp % BLK_W == 0
+    th, tw = BLK_H, BLK_W
+    W = tw + halo_w
+    frozen = _freeze_chunk(stages, stage_ids)
+
+    def kernel(blk_ref, nblk_ref, sum_hbm, inv_hbm, alive_hbm,
+               out_hbm, tile, msk, inv_t, acc, sems, sem_out):
+        i = pl.program_id(0)
+
+        def live():
+            bi = blk_ref[i, 0]
+            bj = blk_ref[i, 1]
+            r0 = bi * th  # row within the band mask
+            c0 = bj * tw
+            cp = pltpu.make_async_copy(
+                sum_hbm.at[
+                    pl.ds(row_lo + r0, th + halo_h), pl.ds(c0, W)
+                ],
+                tile, sems.at[0],
+            )
+            cp.start()
+            cp_m = pltpu.make_async_copy(
+                alive_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)],
+                msk, sems.at[1],
+            )
+            cp_m.start()
+            cp_i = pltpu.make_async_copy(
+                inv_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)],
+                inv_t, sems.at[2],
+            )
+            cp_i.start()
+            cp.wait()
+            cp_m.wait()
+            cp_i.wait()
+            inv = inv_t[:]
+            alive_in = msk[:]
+
+            def rect_sum(x, y, w, h, cache):
+                key = (y, y + h)
+                d = cache.get(key)
+                if d is None:
+                    d = tile[y : y + th, :] - tile[y + h : y + h + th, :]
+                    cache[key] = d
+                return d[:, x : x + tw] - d[:, x + w : x + w + tw]
+
+            msk[:] = _run_stages(
+                frozen, alive_in, inv, rect_sum, acc, th, tw
+            )
+            cp_o = pltpu.make_async_copy(
+                msk, out_hbm.at[pl.ds(r0, th), pl.ds(c0, tw)], sem_out
+            )
+            cp_o.start()
+            cp_o.wait()
+
+        jax.lax.cond(i < nblk_ref[0], live, lambda: None)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((BLK_H + halo_h, W), jnp.int32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.int32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.float32),
+            pltpu.VMEM((BLK_H, BLK_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hp - row_lo, wp), jnp.int32),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def run(sum_pad, inv_b, alive_b, blk, nblk):
+        return call(blk, nblk, sum_pad, inv_b, alive_b)
+
+    return jax.jit(run), (hp, wp, halo_h, halo_w)
+
+
+def live_block_list(mask, nb_cap):
+    """(rows, cols) i32/bool mask → ((nb_cap, 2) i32 block (row, col)
+    indices of 16×512 blocks containing any set position, nblk int32).
+
+    Runs as plain XLA inside the prep programs; order is row-major (any
+    order works — the packed kernels treat blocks independently)."""
+    H, W = mask.shape
+    assert H % BLK_H == 0 and W % BLK_W == 0
+    nbr, nbc = H // BLK_H, W // BLK_W
+    bm = (
+        (mask != 0)
+        .reshape(nbr, BLK_H, nbc, BLK_W)
+        .any(axis=(1, 3))
+        .reshape(-1)
+    )
+    nblk = jnp.sum(bm, dtype=jnp.int32)
+    # stable left-pack of the set block ids (few thousand entries)
+    key = jnp.where(bm, 0, 1).astype(jnp.int32) * (nbr * nbc + 1)
+    ids = key + jnp.arange(nbr * nbc, dtype=jnp.int32)
+    ids = jax.lax.sort(ids)[:nb_cap] % (nbr * nbc + 1)
+    blk = jnp.stack(
+        [ids // nbc, ids % nbc], axis=1
+    ).astype(jnp.int32)
+    return blk, nblk
+
+
 def make_static_front_fn(
     stages,
     stage_ids,

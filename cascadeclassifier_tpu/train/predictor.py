@@ -38,6 +38,20 @@ def _pow2(n: int, lo: int = 1) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
+def _ladder(v: int, base: int, ratio: float = 1.3) -> int:
+    """Smallest base-multiple ≥ v on a ~ratio geometric ladder.
+
+    Quantizes mining-level padded extents so the ~12 pyramid level
+    shapes of a background corpus collapse into O(log) compiled dense
+    programs instead of one remote XLA compile per (level, stage
+    snapshot) — the compile storm measured as a 733 s first superbatch
+    at the stage-16 regime. Worst-case padded-area waste ≈ ratio²."""
+    b = base
+    while b < v:
+        b = -(-int(b * ratio) // base) * base
+    return b
+
+
 @functools.partial(
     jax.jit, static_argnames=("sy", "sx", "wh", "ww", "ny", "nx")
 )
@@ -316,7 +330,11 @@ class CascadePredictor:
         ky, kx = -(-wh // sy), -(-ww // sx)
         bh, bw = 8 * sy, 8 * sx  # slot geometry buckets (block-aligned)
         k = len(used)
-        k_pad = max(16, -(-k // 16) * 16)
+        # pow2 with a 256 floor: the used-var count grows every stage,
+        # and a fresh k_pad re-specializes every geometry's program —
+        # the floor makes k_pad change at most twice across a 20-stage
+        # run (early stages waste matmul width on tiny superbatches)
+        k_pad = _pow2(k, 256)
         used_padded = used + [used[0]] * (k_pad - k)
         cat = ev.maxCatCount > 0
         _tp, _sp, tabs = self._walk_tables(tables)
@@ -340,8 +358,8 @@ class CascadePredictor:
             eh, ew = img.shape[0] - oy, img.shape[1] - ox
             need_h = sy * ((eh - wh) // sy) + ky * sy
             need_w = sx * ((ew - ww) // sx) + kx * sx
-            hp = -(-need_h // bh) * bh
-            wp = -(-need_w // bw) * bw
+            hp = _ladder(need_h, bh)
+            wp = _ladder(need_w, bw)
             ukey = (key, ox, oy, hp, wp)
             if ukey not in uniq:
                 uniq[ukey] = (img, oy, ox, hp, wp)
@@ -358,8 +376,8 @@ class CascadePredictor:
         for ukey, (img, _oy, _ox, hp, wp) in uniq.items():
             if isinstance(img, LazyLevel):
                 shp, swp = (
-                    -(-img.src.shape[0] // 128) * 128,
-                    -(-img.src.shape[1] // 128) * 128,
+                    _ladder(img.src.shape[0], 128),
+                    _ladder(img.src.shape[1], 128),
                 )
                 groups[(hp, wp, shp, swp)].append(ukey)
             else:

@@ -493,6 +493,32 @@ def test_fused_static_engine_parity():
     assert got == want and len(got) > 0
 
 
+@pytest.mark.parametrize("variant", ["default", "packed_slot"])
+def test_fused_hybrid_slot_tail_parity(variant, monkeypatch):
+    """Hybrid static front + MXU tail (interpret mode): the production
+    TPU path — Pallas front chunks, split-tail extraction, limb-emitting
+    patchify kernel — must match the XLA engine exactly. The
+    "packed_slot" variant covers the flagged alternatives (survivor-
+    packed front blocks + slot-major stride-32 limb planes)."""
+    import dataclasses
+
+    if variant == "packed_slot":
+        monkeypatch.setenv("CCTPU_PACKED_FRONT", "1")
+        monkeypatch.setenv("CCTPU_SLOT_LIMBS", "1")
+    m = read_cascade_xml(HAAR_ALT)
+    m10 = dataclasses.replace(m, stages=list(m.stages[:10]))
+    img = face_blob_image(240, 180, n=4, seed=7)
+    fus = TPUDetector(m10, exact=False, engine="fused",
+                      pallas_interpret=True)
+    fus._fused.STATIC_FRONT_TREES = 50  # cutover after ~3 stages
+    fus._fused.tail_n = 4096
+    got = sorted(map(tuple, fus.detect_multi_scale(img, 1.2, 0)))
+    assert fus._fused.n_dense < len(m10.stages)  # tail actually ran
+    ref = TPUDetector(m10, exact=False, engine="xla")
+    want = sorted(map(tuple, ref.detect_multi_scale(img, 1.2, 0)))
+    assert got == want and len(got) > 0
+
+
 def test_fused_lbp_engine_parity():
     """The fused LBP path (LBP prep without variance gate + LBP compact
     tail) must match the XLA engine exactly."""
@@ -569,6 +595,135 @@ def test_pallas_patchify_limb_emit():
         for g, w in zip(got, want):
             assert g.dtype == jnp.bfloat16
             assert np.array_equal(np.asarray(g), np.asarray(w)), emit
+
+
+def test_pallas_patchify_slot_limb_emit():
+    """emit='limbs_rel_slot' (no octet transpose; slot-major window
+    order, stride-32 patch grid) must hold exactly the reference rel
+    limbs: slot[l][s*n8+q, i*32+j] == ref[l][q*8+s, i*pw+j]."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.compact import (
+        _limbs_rel, make_pallas_patchify, pad_canvas_for_patchify,
+    )
+
+    rng = np.random.default_rng(11)
+    H, W, win = 160, 200, 24
+    canvas = jnp.asarray(
+        rng.integers(0, 2**30, (H, W), dtype=np.int64).astype(np.int32)
+    )
+    N, CNT = 128, 101
+    r = np.where(np.arange(N) < CNT,
+                 rng.integers(0, H - win - 1, N), 0).astype(np.int32)
+    c = np.where(np.arange(N) < CNT,
+                 rng.integers(0, W - win - 1, N), 0).astype(np.int32)
+    pad = pad_canvas_for_patchify(canvas, win)
+    f32, _ = make_pallas_patchify(win, win, H, W, N, interpret=True)
+    ps = f32(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+    want = [np.asarray(x) for x in _limbs_rel(ps)]
+    fn, (_, PF) = make_pallas_patchify(
+        win, win, H, W, N, interpret=True, emit="limbs_rel_slot"
+    )
+    got = fn(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+    ph = pw = win + 1
+    n8 = N // 8
+    assert PF == ph * 32
+    for lg, lw in zip(got, want):
+        assert lg.dtype == jnp.bfloat16 and lg.shape == (N, ph * 32)
+        g = np.asarray(lg).reshape(8, n8, ph, 32)[..., :pw]
+        w = lw.reshape(n8, 8, ph, pw).transpose(1, 0, 2, 3)
+        assert np.array_equal(g, w)
+
+
+def test_tail_compact_slot_major_matches():
+    """make_tail_compact_fn(slot_major=True) over the slot-major limb
+    planes returns the same survivor set (original window ids) as the
+    plain tail over tight patches."""
+    import jax.numpy as jnp
+    from cascadeclassifier_tpu.detect.compact import (
+        make_pallas_patchify, make_tail_compact_fn,
+        pad_canvas_for_patchify,
+    )
+    from cascadeclassifier_tpu.detect.detector import PackedCascade
+
+    m = read_cascade_xml(HAAR_ALT)
+    packed = PackedCascade.from_model(m)
+    win = m.width
+    rng = np.random.default_rng(3)
+    H, W = 160, 200
+    img = rng.integers(0, 256, (H, W)).astype(np.int64)
+    canvas = jnp.asarray(
+        np.pad(img, ((1, 0), (1, 0))).cumsum(0).cumsum(1).astype(np.int32)
+    )
+    N, CNT = 64, 49
+    r = np.where(np.arange(N) < CNT,
+                 rng.integers(0, H - win - 1, N), 0).astype(np.int32)
+    c = np.where(np.arange(N) < CNT,
+                 rng.integers(0, W - win - 1, N), 0).astype(np.int32)
+    inv = (1.0 / rng.uniform(1.0, 80.0, N)).astype(np.float32)
+    pad = pad_canvas_for_patchify(canvas, win)
+    start = 3
+    f32, _ = make_pallas_patchify(win, win, H, W, N, interpret=True)
+    ps = f32(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+
+    # random windows never survive the real cascade; recalibrate each
+    # stage's threshold to the median stage sum of the live windows so
+    # ~half survive per stage (exercising the shrink gathers with a
+    # non-trivial survivor pattern)
+    import dataclasses
+
+    pn = np.asarray(ps)
+    cw = win + 1
+    alive_np = np.arange(N) < CNT
+    new_stages = list(packed.stages)
+    for si in range(start, len(packed.stages)):
+        st = packed.stages[si]
+        ssum = np.zeros(N, np.float32)
+        for t in range(st.ntrees):
+            raw = np.zeros(N, np.float32)
+            for ri in range(3):
+                wt = np.float32(st.weights[t, ri])
+                if wt == 0.0:
+                    continue
+                x, y, w_, h_ = (int(v) for v in st.feat_rects[t, ri])
+                rs = (
+                    pn[:, y * cw + x]
+                    - pn[:, y * cw + x + w_]
+                    - pn[:, (y + h_) * cw + x]
+                    + pn[:, (y + h_) * cw + x + w_]
+                ).astype(np.float32)
+                raw = raw + rs * wt
+            val = raw * inv
+            leaf = np.where(val < st.thr[t], st.left_leaf[t],
+                            st.right_leaf[t]).astype(np.float32)
+            ssum = ssum + leaf
+        # 0.01 below the live median: far beyond any f32 rounding, so
+        # both tails make identical pass/fail decisions
+        sthr = (
+            float(np.median(ssum[alive_np])) - 0.01
+            if alive_np.any() else 0.0
+        )
+        new_stages[si] = dataclasses.replace(
+            st, threshold=np.float32(sthr)
+        )
+        alive_np &= ssum >= np.float32(sthr)
+    packed = dataclasses.replace(packed, stages=new_stages)
+    assert 0 < int(alive_np.sum()) < CNT
+
+    ref_tail = make_tail_compact_fn(packed, start, False, N, n_floor=16)
+    rw, ra, rof = ref_tail(ps, ps, jnp.asarray(inv), jnp.int32(CNT))
+    ref = sorted(np.asarray(rw)[np.asarray(ra)].tolist())
+
+    fn, _ = make_pallas_patchify(
+        win, win, H, W, N, interpret=True, emit="limbs_rel_slot"
+    )
+    limbs = fn(pad, jnp.asarray(r), jnp.asarray(c), jnp.int32(CNT))
+    slot_tail = make_tail_compact_fn(
+        packed, start, False, N, n_floor=16, slot_major=True
+    )
+    sw, sa, sof = slot_tail(limbs, limbs, jnp.asarray(inv), jnp.int32(CNT))
+    got = sorted(np.asarray(sw)[np.asarray(sa)].tolist())
+    assert bool(rof) == bool(sof) is False
+    assert got == ref and len(ref) > 0
 
 
 def test_pallas_patchify_cnt_guard():
