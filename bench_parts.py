@@ -124,7 +124,8 @@ def main():
     bw = int(os.environ.get("BENCH_W", "1920"))
     img = synth_frame(0, bh, bw)
     max_det = 1 << 14
-    plan = build_plan(bw, bh, det.packed.win_w, det.packed.win_h, 1.1)
+    plan = build_plan(bw, bh, det.packed.win_w, det.packed.win_h, 1.1,
+                      pack_band=eng.wants_packed_plan())
     tab = plan_tables(plan)
     (canvas, prep, psplit, prep_plane, prep_band, stitch), fronts, tail, (
         R,

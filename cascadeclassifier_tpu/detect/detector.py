@@ -165,22 +165,42 @@ def plan_tables(plan: PyramidPlan) -> dict:
         row_is_grid=jnp.asarray(plan.row_is_grid),
         row_step2=jnp.asarray(plan.row_step2),
         row_maxc=jnp.asarray(plan.row_maxc),
+        # shelf-packed plans: the per-row descriptors cannot express
+        # side-by-side band levels — the band prep consumes the 2D
+        # anchor grid directly (pyramid.py::build_plan pack_band)
+        **(
+            dict(
+                grid2d=jnp.asarray(plan.grid2d),
+                row_is_plane=jnp.asarray(plan.row_is_plane),
+            )
+            if plan.packed
+            else {}
+        ),
     )
 
 
 def _resize_matrices(plan):
     """Banded INTER_LINEAR_EXACT resample matrices for the MXU resize.
 
-    The row pass is one (canvas_h, img_h) matrix shared by every level;
-    the column pass is one (img_w, w_s) matrix per level. Coefficients are
+    The row pass is one (stack_h, img_h) matrix shared by every level —
+    stack_h is the plain vertical-stack height (== canvas_h unless the
+    plan shelf-packs its band levels, pyramid.py::build_plan); the column
+    pass is one (img_w, w_s) matrix per level, whose result lands at the
+    level's canvas placement (block_top, block_left). Coefficients are
     integers ≤ 256 (exact in bfloat16), so the matmuls reproduce the
     fixed-point gather arithmetic bit-for-bit (see _build_canvas)."""
     from cascadeclassifier_tpu.ops.resize import _axis_tab
 
-    R = np.zeros((plan.canvas_h, plan.img_h), np.float32)
+    stack_h = plan.stack_h or plan.canvas_h
+    stack_top = (
+        plan.stack_top if plan.stack_top is not None else plan.block_top
+    )
+    R = np.zeros((stack_h, plan.img_h), np.float32)
     cols = []
     for s in range(len(plan.scales)):
-        t = int(plan.block_top[s])
+        t = int(stack_top[s])
+        bt = int(plan.block_top[s])
+        bl = int(plan.block_left[s]) if plan.block_left is not None else 0
         h_s, w_s = int(plan.scaled_h[s]), int(plan.scaled_w[s])
         ys, cys = _axis_tab(plan.img_h, h_s)
         xs, cxs = _axis_tab(plan.img_w, w_s)
@@ -190,7 +210,7 @@ def _resize_matrices(plan):
         C = np.zeros((plan.img_w, w_s), np.float32)
         np.add.at(C, (xs, np.arange(w_s)), 256 - cxs)
         np.add.at(C, (np.minimum(xs + 1, plan.img_w - 1), np.arange(w_s)), cxs)
-        cols.append((t, h_s, w_s, jnp.asarray(C, jnp.bfloat16)))
+        cols.append((t, bt, bl, h_s, w_s, jnp.asarray(C, jnp.bfloat16)))
     return jnp.asarray(R, jnp.bfloat16), cols
 
 
@@ -230,14 +250,16 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
     kernel (detect/pallas_integral.py) instead of the log-depth XLA
     cumsum chain — bit-identical (mod 2^32)."""
     R, cols = resize_mats
-    H = _mm(R, img.astype(jnp.bfloat16))  # (canvas_h, img_w) ints ≤ 65280
+    H = _mm(R, img.astype(jnp.bfloat16))  # (stack_h, img_w) ints ≤ 65280
     Hi = (H.astype(jnp.int32) >> 8).astype(jnp.bfloat16)
     Lo = (H.astype(jnp.int32) & 0xFF).astype(jnp.bfloat16)
-    canvas_h = R.shape[0]
+    # canvas extents: with shelf-packed plans R spans the taller stack
+    # space, so the canvas height comes from the placement table
+    canvas_h = max(bt + h_s + 1 for (_t, bt, _bl, h_s, _w, _C) in cols)
     canvas_w = tab["sx0"].shape[1]
     px_shape = pad_shape if pad_shape is not None else (canvas_h, canvas_w)
     px = jnp.zeros(px_shape, jnp.int32)
-    for (t, h_s, w_s, C) in cols:
+    for (t, bt, bl, h_s, w_s, C) in cols:
         hi = jax.lax.slice(Hi, (t + 1, 0), (t + 1 + h_s, img_w))
         lo = jax.lax.slice(Lo, (t + 1, 0), (t + 1 + h_s, img_w))
         v = (
@@ -245,7 +267,7 @@ def _build_canvas(img, tab, img_w: int, img_h: int, need_sq: bool,
             + _mm(lo, C).astype(jnp.int32)
         )
         lvl = jnp.minimum((v + (1 << 15)) >> 16, 255)
-        px = jax.lax.dynamic_update_slice(px, lvl, (t + 1, 1))
+        px = jax.lax.dynamic_update_slice(px, lvl, (bt + 1, bl + 1))
 
     # inclusive 2D cumsum with int32 wrap-around (window rect sums fit
     # int32, so 4-corner differences recover true values exactly)
@@ -777,8 +799,9 @@ class TPUDetector:
             w, h, self.packed.win_w, self.packed.win_h, scale_factor,
             tuple(min_size) if min_size else None,
             tuple(max_size) if max_size else None,
+            pack_band=self._fused.wants_packed_plan(),
         )
-        tkey = ("tab", plan.canvas_h, plan.canvas_w)
+        tkey = ("tab", plan.canvas_h, plan.canvas_w, plan.packed)
         if tkey not in self._compiled:
             self._compiled[tkey] = plan_tables(plan)
         tab = self._compiled[tkey]
@@ -949,9 +972,17 @@ class TPUDetector:
         out_w = plan.canvas_w - plan.win_w
         r = sel // out_w
         c = sel % out_w
-        s = plan.row_scale[r]
-        assert (s >= 0).all()
-        y = r - plan.block_top[s]
+        if plan.packed:
+            # shelf-packed band levels share rows — decode via the 2D
+            # level map and the level's (top, left) placement
+            s = plan.lvl2d[r, c].astype(np.int32)
+            assert (s >= 0).all()
+            y = r - plan.block_top[s]
+            c = c - plan.block_left[s]
+        else:
+            s = plan.row_scale[r]
+            assert (s >= 0).all()
+            y = r - plan.block_top[s]
         # the OpenCV invoker maps window coords with FLOAT32 arithmetic:
         # cvRound(x*scalingFactor) where scalingFactor is ScaleData::scale
         # (a float) — e.g. 50·1.21f is exactly 60.5f and rounds to even 60,

@@ -67,7 +67,7 @@ def static_visit_grid(plan) -> np.ndarray:
     return on
 
 
-def parity_visited(m0, on, ordinal=None):
+def parity_visited(m0, on, ordinal=None, reset=None):
     """Closed-form dense_walk_visited (detect/dense.py:163-185).
 
     Per row, over its sequence of `on` columns c_1 < c_2 < …, the walk
@@ -80,13 +80,23 @@ def parity_visited(m0, on, ordinal=None):
     column axis — fully parallel, unlike the 1900-step lax.scan.
 
     ordinal: optional host-precomputed inclusive cumsum of `on` (it is a
-    compile-time constant; folding it in XLA is pathologically slow)."""
+    compile-time constant; folding it in XLA is pathologically slow).
+
+    reset: optional (H, W) bool — columns that hard-reset the walk (the
+    OpenCV walk runs per level; shelf-packed plans place several band
+    levels on one canvas row, so the gap columns between levels must
+    restart the recurrence exactly as a fresh row would). A reset column
+    at inclusive ordinal k forces lastFalse = k for everything after it;
+    gap columns carry the ordinal of the previous on-column, which is
+    precisely the value that makes the next on-column's v_k True."""
     onw = on
     if ordinal is None:
         ordinal = jnp.cumsum(
             jnp.asarray(onw).astype(jnp.int32), axis=1
         )  # inclusive k
     marker = jnp.where(onw & (~m0), ordinal, 0)
+    if reset is not None:
+        marker = jnp.maximum(marker, jnp.where(reset, ordinal, 0))
     # exclusive prefix max over columns (log-step scan: reduce-window
     # lowering of cummax is O(n·w) on some backends)
     lastf = jax.lax.associative_scan(jnp.maximum, marker, axis=1)
@@ -132,8 +142,39 @@ class FusedEngine:
         self.BATCH_F = int(os.environ.get("CCTPU_BATCH_F", "1"))
         self._programs = {}
 
+    def _static_front_ok(self):
+        """True when _build will run the statically-unrolled Pallas front
+        (the conditions of use_static_front that do not depend on the
+        plan). Drives the plan-layout choice in TPUDetector."""
+        import os
+
+        use_pallas = jax.default_backend() == "tpu" and not self.interpret
+        deep_any = any(
+            st.deep_trees is not None for st in self.packed.stages
+        )
+        return (
+            (use_pallas or self.interpret)
+            and self.is_haar
+            and not self.exact
+            and not (self.is_haar and self.packed.has_tilted)
+            and not deep_any
+            and os.environ.get("CCTPU_STATIC_FRONT", "1") != "0"
+        )
+
+    def wants_packed_plan(self):
+        """Shelf-packed band layout (pyramid.py pack_band): enabled for
+        the static-front configuration (its head/front/tail consume the
+        2D grid tables); the XLA-front paths keep the row-table layout.
+        CCTPU_PACK_BAND=0 forces the plain vertical stack."""
+        import os
+
+        return (
+            self._static_front_ok()
+            and os.environ.get("CCTPU_PACK_BAND", "1") != "0"
+        )
+
     def program(self, plan, max_det: int):
-        key = (plan.canvas_h, plan.canvas_w, max_det)
+        key = (plan.canvas_h, plan.canvas_w, max_det, plan.packed)
         if key not in self._programs:
             progs, fronts, tail, (R, Cs) = self._build(plan, max_det)
             # resident on device ONCE — numpy jit arguments would be
@@ -182,8 +223,10 @@ class FusedEngine:
         # device_put once): multi-MB literals baked into the HLO make the
         # remote compile pathologically slow
         R_c, cols_c = _resize_matrices(plan)
-        col_meta = tuple((t, h, w) for (t, h, w, _c) in cols_c)
-        consts = (R_c, [c for (_t, _h, _w, c) in cols_c])
+        col_meta = tuple(
+            (t, bt, bl, h, w) for (t, bt, bl, h, w, _c) in cols_c
+        )
+        consts = (R_c, [c for (*_m, c) in cols_c])
         n_front = self.n_front
         n_stages = len(packed.stages)
 
@@ -210,6 +253,10 @@ class FusedEngine:
             # on new large program shapes (bench.py uses it to guarantee a
             # measurement on the XLA-front configuration)
             and os.environ.get("CCTPU_STATIC_FRONT", "1") != "0"
+        )
+        assert not (plan.packed and not use_static_front), (
+            "shelf-packed plans are only consumable by the static-front "
+            "configuration (see wants_packed_plan)"
         )
         if use_static_front:
             # dense static-Pallas stages until ~STATIC_FRONT_TREES trees
@@ -420,7 +467,7 @@ class FusedEngine:
 
         def canvas(img, tab, R, Cs):
             resize_mats = (
-                R, [(t, h, w, c) for (t, h, w), c in zip(col_meta, Cs)]
+                R, [(*m, c) for m, c in zip(col_meta, Cs)]
             )
             sum_pad, sq2d, tilt2d = _build_canvas(
                 img, tab, img_w, img_h, need_sq=is_haar,
@@ -457,12 +504,25 @@ class FusedEngine:
         # have no other consumer), saving ~3/4 of the sq relayout writes
         sq_oo_only = packed.win_w % 2 == 0 and packed.win_h % 2 == 0
 
+        # only the plane region's rows have plane consumers (the kernels
+        # slice ≤ pg_h2 + halo rows from each parity plane); band rows of
+        # the canvas need no deinterleave — slicing first drops ~20-45%
+        # of the relayout traffic (more under shelf-packed plans, whose
+        # band region is a third the rows)
+        if has_plane:
+            psplit_rows = min(
+                pad_shape[0] - (pad_shape[0] & 1),
+                2 * (pg_h2 + pg_hh2) + 2,
+            )
+
         def plane_split(sum_pad, sq_pad):
             # the four parity planes planes[a, b] = x[a::2, b::2] feed
             # the plane prep/front's static corner reads. A SEPARATE
             # program: fused into the canvas build it trips the remote
             # XLA compile stall (same pathology as the canvas+gate
             # fusion, engine.py head comment).
+            sum_pad = sum_pad[:psplit_rows]
+            sq_pad = sq_pad[:psplit_rows]
             if sq_oo_only:
                 o = sq_pad[1::2, :]
                 sq_planes = o.reshape(o.shape[0], o.shape[1] // 2, 2)[
@@ -566,25 +626,43 @@ class FusedEngine:
                     sum_b, sq_pad[row_lo:], packed.win_w, packed.win_h,
                     hbr, out_w,
                 )
-                cols = jax.lax.broadcasted_iota(jnp.int32, (hbr, out_w), 1)
-                rg = tab["row_is_grid"][row_lo:out_h]
-                st2 = tab["row_step2"][row_lo:out_h]
-                mc = tab["row_maxc"][row_lo:out_h]
-                grid = (
-                    rg[:, None]
-                    & (cols <= mc[:, None])
-                    & ((~st2[:, None]) | ((cols & 1) == 0))
-                )
+                reset = None
+                if plan.packed:
+                    # shelf-packed band: several levels share each canvas
+                    # row — the 2D anchor grid replaces the per-row
+                    # descriptors, and the inter-level gap columns reset
+                    # the serial-walk recurrence (each level walks as its
+                    # own image in OpenCV)
+                    grid = (
+                        tab["grid2d"][row_lo:out_h]
+                        & (~tab["row_is_plane"][row_lo:out_h, None])
+                    )
+                    reset = ~grid
+                    st2 = None
+                else:
+                    cols = jax.lax.broadcasted_iota(
+                        jnp.int32, (hbr, out_w), 1
+                    )
+                    rg = tab["row_is_grid"][row_lo:out_h]
+                    st2 = tab["row_step2"][row_lo:out_h]
+                    mc = tab["row_maxc"][row_lo:out_h]
+                    grid = (
+                        rg[:, None]
+                        & (cols <= mc[:, None])
+                        & ((~st2[:, None]) | ((cols & 1) == 0))
+                    )
                 ordinal = jnp.cumsum(grid.astype(jnp.int32), axis=1)
                 st0 = packed.stages[0]
                 ssum = dense_stage_haar(
                     sum_b, sum_b, st0, hbr, out_w, inv_r, exact=False
                 )
                 passed0 = ssum >= jnp.float32(st0.threshold)
-                visited = parity_visited(gate & (~passed0), grid, ordinal)
-                alive = (
-                    gate & grid & passed0 & visited & (~st2[:, None])
+                visited = parity_visited(
+                    gate & (~passed0), grid, ordinal, reset
                 )
+                alive = gate & grid & passed0 & visited
+                if st2 is not None:
+                    alive = alive & (~st2[:, None])
                 mdt = jnp.int32 if use_packed_front else jnp.int8
                 a_b = (
                     jnp.zeros((hb, fp_wp), mdt)

@@ -474,6 +474,89 @@ def test_fused_engine_matches_xla(haar8, det8, face_img, ref8f):
         assert got == refs[exact] and len(got) > 0
 
 
+def test_packed_plan_layout_and_walk():
+    """Shelf-packed band layout (build_plan pack_band=True): level blocks
+    are disjoint and in-bounds, the 2D anchor grid holds exactly the
+    unpacked plan's anchors per level, and the packed band walk (2D grid
+    + gap-column resets, engine.parity_visited) reproduces the serial
+    per-level OpenCV walk for every band level."""
+    import jax.numpy as jnp
+
+    from cascadeclassifier_tpu.detect.dense import dense_walk_visited
+    from cascadeclassifier_tpu.detect.engine import parity_visited
+    from cascadeclassifier_tpu.detect.pyramid import build_plan
+
+    w, h, win = 240, 180, 20
+    p0 = build_plan(w, h, win, win, 1.2)
+    p1 = build_plan(w, h, win, win, 1.2, pack_band=True)
+    S = len(p1.scales)
+    occ = np.zeros((p1.canvas_h, p1.canvas_w), np.int8)
+    for s in range(S):
+        t, le = int(p1.block_top[s]), int(p1.block_left[s])
+        hb, wb = int(p1.scaled_h[s]) + 1, int(p1.scaled_w[s]) + 1
+        assert t + hb <= p1.canvas_h and le + wb <= p1.canvas_w
+        occ[t : t + hb, le : le + wb] += 1
+    assert occ.max() == 1  # disjoint level blocks
+    assert p1.canvas_h < p0.canvas_h  # packing actually shrank the canvas
+    assert int((p1.block_left > 0).sum()) > 0  # some level shares a shelf
+
+    # per-level anchor sets identical to the unpacked plan
+    out_w0 = p0.canvas_w - win
+    g0 = np.zeros((p0.canvas_h - win, out_w0), bool)
+    cols = np.arange(out_w0)
+    g0[:] = (
+        p0.row_is_grid[: p0.canvas_h - win, None]
+        & (cols[None, :] <= p0.row_maxc[: p0.canvas_h - win, None])
+        & (~p0.row_step2[: p0.canvas_h - win, None]
+           | ((cols[None, :] & 1) == 0))
+    )
+    for s in range(S):
+        r0, c0 = int(p0.block_top[s]), 0
+        r1, c1 = int(p1.block_top[s]), int(p1.block_left[s])
+        hs, ws = int(p1.scaled_h[s]) + 1 - win, int(p1.scaled_w[s]) + 1 - win
+        if hs <= 0 or ws <= 0:
+            continue
+        a0 = g0[r0 : r0 + hs, c0 : c0 + ws]
+        a1 = p1.grid2d[r1 : r1 + hs, c1 : c1 + ws]
+        assert np.array_equal(a0, a1), f"level {s} anchors differ"
+
+    # packed band walk == serial per-level walk under a random skip mask
+    band = np.nonzero(p1.ystep == 1)[0]
+    assert len(band) >= 2
+    out_h1, out_w1 = p1.canvas_h - win, p1.canvas_w - win
+    rng = np.random.default_rng(5)
+    m0 = rng.random((out_h1, out_w1)) < 0.6
+    grid = p1.grid2d & ~p1.row_is_plane[:out_h1, None]
+    got = np.asarray(
+        parity_visited(
+            jnp.asarray(m0), jnp.asarray(grid), None, jnp.asarray(~grid)
+        )
+    )
+    assert not np.any(got & ~grid)
+    for s in band:
+        r1, c1 = int(p1.block_top[s]), int(p1.block_left[s])
+        hs, ws = int(p1.scaled_h[s]) + 1 - win, int(p1.scaled_w[s]) + 1 - win
+        if hs <= 0 or ws <= 0:
+            continue
+        lvl_grid = grid[r1 : r1 + hs, c1 : c1 + ws]
+        want = np.asarray(
+            dense_walk_visited(
+                jnp.asarray(m0[r1 : r1 + hs, c1 : c1 + ws]),
+                jnp.asarray(lvl_grid.any(axis=1)),
+                jnp.zeros(hs, bool),
+                jnp.asarray(
+                    np.where(lvl_grid.any(axis=1),
+                             lvl_grid.shape[1] - 1, -1).astype(np.int32)
+                ),
+            )
+        )
+        # dense_walk_visited's per-row maxc bound: emulate via the grid
+        want = want & lvl_grid
+        assert np.array_equal(
+            got[r1 : r1 + hs, c1 : c1 + ws] & lvl_grid, want
+        ), f"level {s} walk differs"
+
+
 def test_fused_static_engine_parity():
     """End-to-end fused engine on the statically-unrolled Pallas front
     (interpret mode): the WHOLE cascade runs in fine-tiled kernels and
@@ -853,7 +936,11 @@ def test_fused_batched_head_programs_identical(face_img):
     det3._fused.BATCH_F = 4
     got3 = det3.detect_multi_scale_batch(frames, 1.2, 0)
     for a, b in zip(ref, got3):
-        np.testing.assert_array_equal(a, b)
+        # the static-front engine uses the shelf-packed canvas, whose
+        # raw-window enumeration order differs from the row-table
+        # layout's scan order — set equality is the contract (as for the
+        # split tail's plane-then-band order)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_windowed_batch_submission_matches_per_frame(face_img):
