@@ -575,6 +575,11 @@ def make_block_nonzero_fn(n_rows, out_w, n_max, kb=1 << 14):
         lane = jax.lax.broadcasted_iota(jnp.int32, (kb, WB), 1)
         keys = jnp.where(sub != 0, base[:, None] + lane, BIG)
         flat = jax.lax.sort(keys.reshape(-1))
+        if kb * WB < n_max:
+            # Small canvases (e.g. shelf-packed plans) can have fewer than
+            # n_max candidate slots in the kb live blocks; pad with the BIG
+            # sentinel so the slice below is always n_max wide.
+            flat = jnp.pad(flat, (0, n_max - kb * WB), constant_values=BIG)
         total = jnp.sum(bcnt)
         q = jnp.arange(n_max, dtype=jnp.int32)
         return jnp.where(q < total, flat[:n_max], 0), blk_oflow

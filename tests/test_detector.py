@@ -1019,6 +1019,14 @@ def test_block_nonzero_matches_full():
     mask = np.ones((64, 256), bool)
     _, oflow = make_block_nonzero_fn(64, 256, 1 << 8, kb=16)(mask)
     assert bool(oflow)
+    # small canvas: kb*128 < n_max (shelf-packed plan geometry — the
+    # round-4 regression: flat[:n_max] used to under-slice and crash)
+    mask = rng.random((12, 130)) < 0.2
+    n_max = 1 << 16
+    want = np.asarray(make_nonzero_fn(12, 130, n_max)(mask))
+    got, oflow = make_block_nonzero_fn(12, 130, n_max)(mask)
+    assert not bool(oflow)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_fused_split_tail_parity():
