@@ -537,7 +537,7 @@ def make_nonzero_fn(out_h, out_w, n_max, grid_rows=None):
     return jax.jit(fn)
 
 
-def make_block_nonzero_fn(n_rows, out_w, n_max, kb=1 << 14):
+def make_block_nonzero_fn(n_rows, out_w, n_max, kb=None):
     """fn(mask (n_rows, out_w) bool) -> (idx (n_max,) i32, blk_oflow bool)
 
     Block-compressed single-sort extraction for sparse masks: the (R, W)
@@ -551,7 +551,20 @@ def make_block_nonzero_fn(n_rows, out_w, n_max, kb=1 << 14):
     9.2 ms measured on the v5e at the 1080p plane mask).
 
     Ascending flat indices, zero-padded, identical to make_nonzero_fn.
-    blk_oflow reports live blocks > kb (caller falls back)."""
+    blk_oflow reports live blocks > kb (caller falls back).
+
+    kb: live-block capacity — the flat sort runs over kb·128 keys, so it
+    directly prices this phase. The 1080p bench frames peak at ~1.3k
+    live plane blocks / ~2.1k band blocks (adversarial 40-face content,
+    measured r5), so 1<<13 would leave ~4x headroom — but kb=1<<13
+    reproducibly CRASHES the TPU worker process at the 1080p plane-mask
+    geometry (kernel fault in the compiled program; kb=1<<14 is clean,
+    verified byte-parity vs the C++ oracle both ways, r5). Default stays
+    1<<14. CCTPU_NZ_KB overrides for sweeps — resweep on a newer XLA."""
+    import os
+
+    if kb is None:
+        kb = int(os.environ.get("CCTPU_NZ_KB", str(1 << 14)))
     WB = 128
     wpad = -(-out_w // WB) * WB
     nb_cols = wpad // WB

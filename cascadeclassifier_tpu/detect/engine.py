@@ -200,6 +200,16 @@ class FusedEngine:
     # exit) but per-tile overhead wins at bench survivor density
     TILE_H = 128
     TILE_W = 512
+    # mid-front re-compaction plan: "budget:tile_h[,budget:tile_h...]" —
+    # stages 1.. are assigned to entries by cumulative tree budget and
+    # each entry's kernels run at its OWN tile height. A uniform tile
+    # must stay coarse (per-tile overhead, sweep above), but after ~3
+    # stages ~85% of windows are dead and CLUSTERED, so finer tiles let
+    # the per-tile dead-skip drop whole regions (the TPU shape of the
+    # reference's per-window early exit at block granularity). Masks are
+    # re-fit between geometries by cheap slice/pad programs.
+    # CCTPU_FRONT_PLAN overrides for sweeps.
+    FRONT_PLAN = "999:128"
     # live-row capacity of the final sparse detection extraction
     K_ROWS = 512
     # trees evaluated densely by the static-Pallas front before cutting
@@ -262,11 +272,15 @@ class FusedEngine:
             # dense static-Pallas stages until ~STATIC_FRONT_TREES trees
             # have run (by then survivors fit the MXU tail comfortably);
             # the dense VPU work per tree is the dominant frame cost, so
-            # the boundary sits as early as the tail capacity allows
+            # the boundary sits as early as the tail capacity allows.
+            # CCTPU_FRONT_TREES overrides for cutover sweeps.
+            front_trees = int(os.environ.get(
+                "CCTPU_FRONT_TREES", str(self.STATIC_FRONT_TREES)
+            ))
             n_dense, budget = n_stages, 0
             for si in range(1, n_stages):
                 budget += packed.stages[si].ntrees
-                if budget >= self.STATIC_FRONT_TREES:
+                if budget >= front_trees:
                     n_dense = si + 1
                     break
         elif deep_any:
@@ -286,7 +300,12 @@ class FusedEngine:
         # back to the adaptive engine)
         cap = self.tail_n
         if use_static_front:
-            cap = min(cap, 1 << 16)
+            # CCTPU_TAIL_CAP overrides for cutover sweeps (an earlier
+            # front boundary leaves more survivors — the r3 150-tree
+            # sweep failed only because the cap was held here)
+            cap = min(cap, int(os.environ.get(
+                "CCTPU_TAIL_CAP", str(1 << 16)
+            )))
         tail_n = max(
             32,
             min(cap, 1 << int(np.ceil(np.log2(max(out_h * out_w, 2))))),
@@ -362,15 +381,12 @@ class FusedEngine:
             # dwarf the dense kernel's ~5 µs/tile amortized cost, and
             # the ~25-45% live-block fraction cannot recoup them. Kept
             # behind CCTPU_PACKED_FRONT=1 with interpret-mode parity
-            # coverage; BENCHMARKS.md records the numbers.
+            # coverage; BENCHMARKS.md (round 5 section) records the
+            # numbers.
             use_packed_front = (
                 os.environ.get("CCTPU_PACKED_FRONT", "0") == "1"
             )
 
-            fp_hp, fp_wp, fp_hh, fp_hw = front_pad_geometry(
-                plan.canvas_h, plan.canvas_w, packed.win_w, packed.win_h,
-                self.TILE_H, self.TILE_W,
-            )
             # ystep-2 levels sit at the TOP of the canvas (factor grows
             # down the stack; ystep drops to 1 once factor >= 2): their
             # grid anchors all land on even (row, col) (pyramid.py aligns
@@ -384,22 +400,92 @@ class FusedEngine:
             )
             has_plane = split_r > 0
             has_band = len(step1) > 0
-            row_lo = (split_r // self.TILE_H) * self.TILE_H
-            if has_plane:
-                pg_h2, pg_w2, pg_hh2, pg_hw2 = plane_pad_geometry(
-                    split_r, out_w, packed.win_w, packed.win_h,
-                    self.TILE_H, self.TILE_W,
+
+            # per-chunk tile plan (FRONT_PLAN): stages 1..n_dense-1 are
+            # grouped by cumulative tree budget; each group's kernels run
+            # at the entry's tile height (finer tiles after the first
+            # stages → the per-tile dead-skip tracks survivor
+            # clustering). Masks are re-fit between geometries.
+            fplan = []
+            for part in os.environ.get(
+                "CCTPU_FRONT_PLAN", self.FRONT_PLAN
+            ).split(","):
+                b, th = part.split(":")
+                fplan.append((int(b), int(th)))
+            if use_packed_front:
+                fplan = [(1 << 30, self.TILE_H)]  # packed: one geometry
+            static_chunks = []  # [(stage_ids, tile_h)]
+            ei, cur, budget = 0, [], 0
+            for si in range(1, n_dense):
+                cur.append(si)
+                budget += packed.stages[si].ntrees
+                if budget >= fplan[ei][0]:
+                    static_chunks.append((cur, fplan[ei][1]))
+                    cur, budget = [], 0
+                    ei = min(ei + 1, len(fplan) - 1)
+            if cur:
+                static_chunks.append((cur, fplan[ei][1]))
+            tile_hs = [th for (_ids, th) in static_chunks] or [self.TILE_H]
+
+            def geom_for(th):
+                fp = front_pad_geometry(
+                    plan.canvas_h, plan.canvas_w,
+                    packed.win_w, packed.win_h, th, self.TILE_W,
                 )
-                # the padded canvas must cover the band kernel's tiles,
+                g = dict(
+                    th=th, fp_hp=fp[0], fp_wp=fp[1], fp_hh=fp[2],
+                    fp_hw=fp[3], row_lo=(split_r // th) * th,
+                )
+                if has_plane:
+                    pg = plane_pad_geometry(
+                        split_r, out_w, packed.win_w, packed.win_h,
+                        th, self.TILE_W,
+                    )
+                    g.update(
+                        pg_h2=pg[0], pg_w2=pg[1], pg_hh2=pg[2],
+                        pg_hw2=pg[3],
+                    )
+                return g
+
+            geoms = {th: geom_for(th) for th in set(tile_hs)}
+            g0 = geoms[tile_hs[0]]  # prep emits masks in this geometry
+            gL = geoms[tile_hs[-1]]  # the tail consumes this geometry
+            fp_hp, fp_wp = g0["fp_hp"], g0["fp_wp"]
+            row_lo = g0["row_lo"]
+            if has_plane:
+                pg_h2, pg_w2 = g0["pg_h2"], g0["pg_w2"]
+                pg_hh2, pg_hw2 = g0["pg_hh2"], g0["pg_hw2"]
+                # the padded canvas must cover every chunk's band tiles,
                 # the patchify DMAs, AND an even shape whose parity
-                # planes span the plane kernel's tiles + halos
+                # planes span every chunk's plane tiles + halos
                 pad_min = (
-                    max(fp_hp + fp_hh, 2 * (pg_h2 + pg_hh2) + 2),
-                    max(fp_wp + fp_hw, 2 * (pg_w2 + pg_hw2) + 2),
+                    max(
+                        max(
+                            g["fp_hp"] + g["fp_hh"]
+                            for g in geoms.values()
+                        ),
+                        max(
+                            2 * (g["pg_h2"] + g["pg_hh2"]) + 2
+                            for g in geoms.values()
+                        ),
+                    ),
+                    max(
+                        max(
+                            g["fp_wp"] + g["fp_hw"]
+                            for g in geoms.values()
+                        ),
+                        max(
+                            2 * (g["pg_w2"] + g["pg_hw2"]) + 2
+                            for g in geoms.values()
+                        ),
+                    ),
                 )
                 pad_min = (-(-pad_min[0] // 2) * 2, -(-pad_min[1] // 2) * 2)
             else:
-                pad_min = (fp_hp + fp_hh, fp_wp + fp_hw)
+                pad_min = (
+                    max(g["fp_hp"] + g["fp_hh"] for g in geoms.values()),
+                    max(g["fp_wp"] + g["fp_hw"] for g in geoms.values()),
+                )
         else:
             has_plane = has_band = False
             pad_min = (0, 0)
@@ -418,10 +504,12 @@ class FusedEngine:
             )
 
             if has_plane:
-                nz_plane = make_block_nonzero_fn(pg_h2, pg_w2, tail_n)
+                nz_plane = make_block_nonzero_fn(
+                    gL["pg_h2"], pg_w2, tail_n
+                )
             if has_band:
                 nz_band = make_block_nonzero_fn(
-                    out_h - row_lo, out_w, tail_n
+                    out_h - gL["row_lo"], out_w, tail_n
                 )
 
         def stage_pass(sum2d, tilt2d, inv_nf, si):
@@ -512,7 +600,10 @@ class FusedEngine:
         if has_plane:
             psplit_rows = min(
                 pad_shape[0] - (pad_shape[0] & 1),
-                2 * (pg_h2 + pg_hh2) + 2,
+                max(
+                    2 * (g["pg_h2"] + g["pg_hh2"]) + 2
+                    for g in geoms.values()
+                ),
             )
 
         def plane_split(sum_pad, sq_pad):
@@ -683,18 +774,19 @@ class FusedEngine:
         else:
             prep_band = None
 
-        # dense front chunks of ≤ FRONT_CHUNK / STATIC_CHUNK trees
-        chunk_cap = self.STATIC_CHUNK if use_static_front else self.FRONT_CHUNK
+        # dense front chunks of ≤ FRONT_CHUNK trees (XLA front); the
+        # static front's chunking came from FRONT_PLAN above
         chunks = []
-        cur, budget = [], 0
-        for si in range(1, n_dense):
-            cur.append(si)
-            budget += packed.stages[si].ntrees
-            if budget >= chunk_cap:
+        if not use_static_front:
+            cur, budget = [], 0
+            for si in range(1, n_dense):
+                cur.append(si)
+                budget += packed.stages[si].ntrees
+                if budget >= self.FRONT_CHUNK:
+                    chunks.append(cur)
+                    cur, budget = [], 0
+            if cur:
                 chunks.append(cur)
-                cur, budget = [], 0
-        if cur:
-            chunks.append(cur)
 
         def make_front(stage_ids):
             def front(sum2d, tilt2d, inv_nf, alive):
@@ -706,8 +798,9 @@ class FusedEngine:
             return front
 
         def stitch(state):
-            """Plane-layout + band survivor masks → full (out_h, out_w)
-            grid. A separate program (see mask_split)."""
+            """Plane-layout + band survivor masks (in the LAST front
+            chunk's geometry) → full (out_h, out_w) grid. A separate
+            program (see mask_split)."""
             a_p, a_b = state[0], state[4]
             alive = jnp.zeros((out_h, out_w), bool)
             if has_plane:
@@ -715,20 +808,20 @@ class FusedEngine:
                 # stack+reshape (lowers to concat, no strided
                 # scatter — XLA scatters are slow to compile/run at
                 # this size)
+                h2, w2 = gL["pg_h2"], pg_w2
                 z = jnp.zeros_like(a_p)
-                up = jnp.stack([a_p, z], 2).reshape(pg_h2, 2 * pg_w2)
+                up = jnp.stack([a_p, z], 2).reshape(h2, 2 * w2)
                 zz = jnp.zeros_like(up)
-                up = jnp.stack([up, zz], 1).reshape(
-                    2 * pg_h2, 2 * pg_w2
-                )
-                rows = min(2 * pg_h2, out_h)
-                cols = min(2 * pg_w2, out_w)
+                up = jnp.stack([up, zz], 1).reshape(2 * h2, 2 * w2)
+                rows = min(2 * h2, out_h)
+                cols = min(2 * w2, out_w)
                 alive = alive.at[:rows, :cols].set(
                     up[:rows, :cols] != 0
                 )
             if has_band:
-                bm = a_b[: out_h - row_lo, :out_w] != 0
-                alive = alive.at[row_lo:].set(alive[row_lo:] | bm)
+                rl = gL["row_lo"]
+                bm = a_b[: out_h - rl, :out_w] != 0
+                alive = alive.at[rl:].set(alive[rl:] | bm)
             return alive
 
         def _run_tail(sum2d, tilt2d, inv_vec, idx, r, c, cnt,
@@ -784,11 +877,12 @@ class FusedEngine:
 
         def compact_collect_split(sum2d, tilt2d, state):
             """Split-tail variant: survivors (and their 1/normfactor)
-            extracted straight from the plane-layout and band arrays (see
-            nz_plane/nz_band above)."""
+            extracted straight from the plane-layout and band arrays (in
+            the LAST front chunk's geometry; see nz_plane/nz_band)."""
             a_p, inv_p, a_b, inv_b = (
                 state[0], state[1], state[4], state[5]
             )
+            rl = gL["row_lo"]
             q = jnp.arange(tail_n, dtype=jnp.int32)
             blk_oflow = jnp.zeros((), bool)
             cntp = (
@@ -802,13 +896,13 @@ class FusedEngine:
                 cp = (idxp % pg_w2).astype(jnp.int32) * 2
                 ivp = inv_p.reshape(-1)[idxp]
             if has_band:
-                bm = a_b[: out_h - row_lo, :out_w] != 0
+                bm = a_b[: out_h - rl, :out_w] != 0
                 cntb = jnp.sum(bm, dtype=jnp.int32)
                 idxb, ofb = nz_band(bm)
                 blk_oflow = blk_oflow | ofb
-                rb = row_lo + (idxb // out_w).astype(jnp.int32)
+                rb = rl + (idxb // out_w).astype(jnp.int32)
                 cb = (idxb % out_w).astype(jnp.int32)
-                ivb = inv_b[: out_h - row_lo, :out_w].reshape(-1)[idxb]
+                ivb = inv_b[: out_h - rl, :out_w].reshape(-1)[idxb]
             if has_plane and has_band:
                 qb = jnp.clip(q - cntp, 0, tail_n - 1)
                 r = jnp.where(q < cntp, rp, rb[qb])
@@ -827,7 +921,19 @@ class FusedEngine:
 
         if use_static_front:
 
-            def make_static_chunk(ids):
+            def _fit(x, rows, r0=0, fill=0):
+                """Rows r0..r0+rows of x (slice, zero/fill-pad), width
+                kept — re-fits masks between chunk tile geometries."""
+                x = x[r0:]
+                if x.shape[0] >= rows:
+                    return x[:rows]
+                pad = jnp.full(
+                    (rows - x.shape[0],) + x.shape[1:], fill, x.dtype
+                )
+                return jnp.concatenate([x, pad], 0)
+
+            def make_static_chunk(ids, gp, gc):
+                th = gc["th"]
                 plane_fn = band_fn = None
                 if has_plane and use_packed_front:
                     plane_fn = make_packed_plane_front_fn(
@@ -840,7 +946,7 @@ class FusedEngine:
                 elif has_plane:
                     plane_fn = make_plane_front_fn(
                         packed.stages, ids, packed.win_w, packed.win_h,
-                        split_r, out_w, self.TILE_H, self.TILE_W,
+                        split_r, out_w, th, self.TILE_W,
                         interpret=self.interpret,
                     )[0]
                 if has_band and use_packed_front:
@@ -857,12 +963,21 @@ class FusedEngine:
                     band_fn = make_static_front_fn(
                         packed.stages, ids, packed.win_w, packed.win_h,
                         plan.canvas_h, plan.canvas_w,
-                        self.TILE_H, self.TILE_W,
-                        interpret=self.interpret, row_lo=row_lo,
+                        th, self.TILE_W,
+                        interpret=self.interpret, row_lo=gc["row_lo"],
                     )[0]
 
                 def front(sum2d, planes, state):
                     a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb = state
+                    if gc is not gp:
+                        if has_plane:
+                            a_p = _fit(a_p, gc["pg_h2"])
+                            inv_p = _fit(inv_p, gc["pg_h2"], fill=1.0)
+                        if has_band:
+                            dr = gc["row_lo"] - gp["row_lo"]
+                            hb = gc["fp_hp"] - gc["row_lo"]
+                            a_b = _fit(a_b, hb, r0=dr)
+                            inv_b = _fit(inv_b, hb, r0=dr, fill=1.0)
                     if plane_fn is not None and use_packed_front:
                         a_p = plane_fn(planes, inv_p, a_p, pblk, pnb)
                     elif plane_fn is not None:
@@ -875,7 +990,12 @@ class FusedEngine:
 
                 return jax.jit(front)
 
-            fronts = [make_static_chunk(ids) for ids in chunks]
+            fronts = []
+            gp = g0
+            for (ids, th) in static_chunks:
+                gc = geoms[th]
+                fronts.append(make_static_chunk(ids, gp, gc))
+                gp = gc
         else:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
         use_split_tail = use_static_front and n_dense < n_stages
@@ -896,9 +1016,10 @@ class FusedEngine:
             "tail_n": tail_n,
             "geom": dict(
                 out_h=out_h, out_w=out_w,
-                row_lo=row_lo if use_static_front else 0,
-                pg=(pg_h2, pg_w2) if (use_static_front and has_plane)
-                else None,
+                # tail-side geometry = the LAST front chunk's
+                row_lo=gL["row_lo"] if use_static_front else 0,
+                pg=(gL["pg_h2"], pg_w2)
+                if (use_static_front and has_plane) else None,
             ),
         }
         return (

@@ -580,6 +580,7 @@ def make_static_front_fn(
     tile_w: int = 512,
     interpret: bool = False,
     row_lo: int = 0,
+    frames: int | None = None,
 ):
     """Build fn(sum_pad, inv_pad, alive_pad) → alive' for untilted stump
     Haar stages.
@@ -592,31 +593,46 @@ def make_static_front_fn(
     row_lo (a multiple of tile_h): the kernel's grid covers only canvas
     rows [row_lo, hp) — used to restrict the full-density kernel to the
     ystep-1 levels at the bottom of the canvas while the parity-plane
-    kernel handles the (4x larger) ystep-2 region above."""
+    kernel handles the (4x larger) ystep-2 region above.
+
+    frames (F > 0): in-kernel frame batching — arrays gain a leading F
+    axis and the grid a leading frame dimension, so ONE dispatch walks
+    all F frames' tiles (per-tile dead-skip still per frame). The tile
+    geometry is shared; only dispatch overheads amortize."""
     hp, wp, halo_h, halo_w = front_pad_geometry(
         canvas_h, canvas_w, win_w, win_h, tile_h, tile_w
     )
     assert row_lo % tile_h == 0 and row_lo < hp
     r0 = row_lo // tile_h
-    grid = ((hp - row_lo) // tile_h, wp // tile_w)
+    F = frames or 1
+    grid2 = ((hp - row_lo) // tile_h, wp // tile_w)
+    grid = grid2 if frames is None else (F, *grid2)
     th, tw = tile_h, tile_w
     W = tw + halo_w
 
     frozen = _freeze_chunk(stages, stage_ids)
 
     def kernel(sum_hbm, inv_ref, alive_ref, out_ref, tile, acc, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        i = pl.program_id(0 if frames is None else 1)
+        j = pl.program_id(1 if frames is None else 2)
+        # with a frame axis the mask blocks are (1, th, tw); [0] views
+        # the tile so the shared body stays 2-D
+        inv_r = inv_ref if frames is None else inv_ref.at[0]
+        alive_r = alive_ref if frames is None else alive_ref.at[0]
+        out_r = out_ref if frames is None else out_ref.at[0]
         # int masks + max-reductions throughout: Mosaic cannot relayout
         # 2D i1 vectors for scalar reductions
-        alive_in = alive_ref[:].astype(jnp.int32)
+        alive_in = alive_r[:].astype(jnp.int32)
 
         def dead():
-            out_ref[:] = jnp.zeros((th, tw), jnp.int8)
+            out_r[:] = jnp.zeros((th, tw), jnp.int8)
 
         def live():
+            src = sum_hbm
+            if frames is not None:
+                src = src.at[pl.program_id(0)]
             cp = pltpu.make_async_copy(
-                sum_hbm.at[
+                src.at[
                     pl.ds((r0 + i) * th, th + halo_h), pl.ds(j * tw, W)
                 ],
                 tile,
@@ -624,7 +640,7 @@ def make_static_front_fn(
             )
             cp.start()
             cp.wait()
-            inv = inv_ref[:]
+            inv = inv_r[:]
 
             def rect_sum(x, y, w, h, cache):
                 key = (y, y + h)
@@ -634,21 +650,29 @@ def make_static_front_fn(
                     cache[key] = d
                 return d[:, x : x + tw] - d[:, x + w : x + w + tw]
 
-            out_ref[:] = _run_stages(
+            out_r[:] = _run_stages(
                 frozen, alive_in, inv, rect_sum, acc, th, tw
             ).astype(jnp.int8)
 
         jax.lax.cond(jnp.max(alive_in) > 0, live, dead)
 
-    blk = lambda: pl.BlockSpec(  # noqa: E731
-        (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
+    if frames is None:
+        blk = lambda: pl.BlockSpec(  # noqa: E731
+            (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((hp - row_lo, wp), jnp.int8)
+    else:
+        blk = lambda: pl.BlockSpec(  # noqa: E731
+            (1, th, tw), lambda f, i, j: (f, i, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((F, hp - row_lo, wp), jnp.int8)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk(), blk()],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((hp - row_lo, wp), jnp.int8),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((th + halo_h, W), jnp.int32),
             pltpu.VMEM((th, tw), jnp.float32),
