@@ -49,6 +49,40 @@ def run_measurement():
     bw = int(os.environ.get("BENCH_W", "1920"))
     frames = [synth_frame(k, bh, bw) for k in range(n_frames)]
 
+    # on-chip oracle parity for the EXACT benchmarked configuration
+    # (VERDICT r4 #4): frame 0 through the independent OpenCV C++
+    # runtime vs this process's engine — collapses the CPU-interpret
+    # assumption chain into a direct check on the same hardware/mode.
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "oracle", "detect_oracle")
+        try:
+            import subprocess
+
+            import cv2
+
+            p = "/tmp/bench_parity_frame.png"
+            cv2.imwrite(p, frames[0])
+            out = subprocess.run(
+                [oracle, xml, p, "1.1", "3"], capture_output=True,
+                text=True, check=True, timeout=120,
+            ).stdout.splitlines()
+            assert out and out[0].strip() == "LOADED"
+            ref = sorted(tuple(int(v) for v in l.split())
+                         for l in out[1:] if l.strip())
+            ours = sorted(
+                tuple(int(v) for v in r)
+                for r in np.asarray(det.detect_multi_scale(frames[0], 1.1, 3))
+            )
+            assert ours == ref, (
+                f"on-chip parity FAILED: ours={len(ours)} ref={len(ref)}"
+            )
+            print(f"# on-chip oracle parity OK ({len(ref)} rects)",
+                  file=sys.stderr)
+        except (FileNotFoundError, OSError) as e:
+            print(f"# parity check skipped (oracle unavailable: {e})",
+                  file=sys.stderr)
+
     # Measure chip throughput on device-resident frames (offline /
     # serving-pipeline scenario): frames are staged into HBM before the
     # timed region, which covers every detection dispatch plus the single
@@ -89,6 +123,33 @@ def run_measurement():
     sys.stdout.flush()
 
 
+def _wait_device_healthy(max_s: float):
+    """After a killed/hung client (which can wedge the tunneled device),
+    poll an actual tiny device computation in a fresh process instead of
+    sleeping a fixed quiet period (VERDICT r4 weak #7): return as soon
+    as one succeeds, give up after max_s."""
+    import subprocess
+
+    t0 = time.time()
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.zeros(8).block_until_ready(); print('ok')")
+    while time.time() - t0 < max_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=90,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                print(f"# device healthy after "
+                      f"{time.time() - t0:.0f}s", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20)
+    print(f"# device probe still failing after {max_s:.0f}s; "
+          f"proceeding anyway", file=sys.stderr)
+
+
 def main():
     """Run the measurement in a child process with a wall-clock guard.
 
@@ -118,10 +179,11 @@ def main():
             )
         except subprocess.TimeoutExpired:
             print(f"# attempt static={conf} batch_f={bf} timed out "
-                  f"({timeout:.0f}s); device quiet period before fallback",
-                  file=sys.stderr)
-            time.sleep(float(os.environ.get("BENCH_QUIET_S", "600")))
-            # ^ killed client wedges the device (~10 min quiet period)
+                  f"({timeout:.0f}s); probing device health before "
+                  f"fallback", file=sys.stderr)
+            _wait_device_healthy(
+                float(os.environ.get("BENCH_QUIET_S", "600"))
+            )
             continue
         line = next(
             (l for l in r.stdout.splitlines() if l.startswith("{")), None

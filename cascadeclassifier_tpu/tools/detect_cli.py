@@ -49,6 +49,13 @@ def main(argv=None):
         # the crop-consistent HOG detector (engine flags do not apply)
         from cascadeclassifier_tpu.detect.hog_detector import HOGDetector
 
+        print(
+            "note: HOG cascades run the crop-consistent host-loop "
+            "detector (per-window evaluation; orders of magnitude "
+            "slower than the fused Haar/LBP engines — see "
+            "ARCHITECTURE.md)",
+            file=sys.stderr,
+        )
         det = HOGDetector(model)
     else:
         det = TPUDetector(

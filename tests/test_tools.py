@@ -117,6 +117,35 @@ def test_visualisation(tmp_path):
     assert len(os.listdir(out)) == 22
 
 
+def test_visualisation_video(tmp_path):
+    """--video writes the per-feature animation (one frame per weak
+    feature — reference opencv_visualisation.cpp:182-192, 235-276)."""
+    import cv2
+
+    from cascadeclassifier_tpu.models.xml_io import read_cascade_xml
+    from cascadeclassifier_tpu.tools.visualisation_cli import main
+
+    xml = "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml"
+    if not os.path.exists(xml):
+        pytest.skip("pretrained cascade missing")
+    out = str(tmp_path / "vis")
+    assert main(
+        ["--model", xml, "--data", out, "--scale", "4", "--video"]
+    ) == 0
+    vids = [f for f in os.listdir(out)
+            if f.startswith("model_visualization")]
+    assert len(vids) == 1
+    cap = cv2.VideoCapture(os.path.join(out, vids[0]))
+    assert cap.isOpened()
+    n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    model = read_cascade_xml(xml)
+    n_feat = sum(
+        t.num_nodes for s in model.stages for t in s.trees
+    )
+    assert n_frames == n_feat
+
+
 def test_detect_cli_routes_hog_cascade(tmp_path, capsys):
     """tpu-detect serves HOG cascades via HOGDetector (the OpenCV runtime
     cannot serve HOG at all — reference detection samples are Haar/LBP
