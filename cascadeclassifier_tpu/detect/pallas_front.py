@@ -615,6 +615,7 @@ def make_static_front_fn(
     def kernel(sum_hbm, inv_ref, alive_ref, out_ref, tile, acc, sem):
         i = pl.program_id(0 if frames is None else 1)
         j = pl.program_id(1 if frames is None else 2)
+        fi = None if frames is None else pl.program_id(0)
         # with a frame axis the mask blocks are (1, th, tw); [0] views
         # the tile so the shared body stays 2-D
         inv_r = inv_ref if frames is None else inv_ref.at[0]
@@ -629,8 +630,8 @@ def make_static_front_fn(
 
         def live():
             src = sum_hbm
-            if frames is not None:
-                src = src.at[pl.program_id(0)]
+            if fi is not None:
+                src = src.at[fi]
             cp = pltpu.make_async_copy(
                 src.at[
                     pl.ds((r0 + i) * th, th + halo_h), pl.ds(j * tw, W)

@@ -206,6 +206,29 @@ def test_static_front_matches_dense(tmp_path):
     assert refn.sum() > 1000  # non-vacuous
     np.testing.assert_array_equal(got, refn)
 
+    # in-kernel frame batching (frames=F grid axis): identical per-frame
+    # results to the unbatched kernel on a stacked pair of frames
+    fnb, _ = make_static_front_fn(
+        packed.stages, [1, 2, 3], packed.win_w, packed.win_h,
+        plan.canvas_h, plan.canvas_w, 64, 128, interpret=True,
+        frames=2,
+    )
+    alive2 = (
+        jnp.zeros((hp, wp), jnp.int8)
+        .at[:out_h, :out_w]
+        .set((~np.asarray(gate)).astype(jnp.int8))
+    )
+    sum_b = jnp.stack([sum_pad, sum_pad])
+    inv_b = jnp.stack([inv_pad, inv_pad])
+    al_b = jnp.stack([alive, alive2])
+    got_b = np.asarray(fnb(sum_b, inv_b, al_b))
+    np.testing.assert_array_equal(
+        got_b[0], np.asarray(fn(sum_pad, inv_pad, alive))
+    )
+    np.testing.assert_array_equal(
+        got_b[1], np.asarray(fn(sum_pad, inv_pad, alive2))
+    )
+
 
 def test_visit_set_matches_oracle_exactly(oracle_bin, tmp_path):
     """Pin the exact window visit-set + output mapping of the OpenCV 4.x
