@@ -182,21 +182,39 @@ def main():
     # sub-parts of the split tail (per-piece timing of what tail(split)
     # runs as one program; sums can exceed the fused time)
     p = eng._parts
-    if os.environ.get("BENCH_TAIL_PARTS", "1") == "1" and p["nz_plane"]:
+    want_parts = os.environ.get("BENCH_TAIL_PARTS", "1") == "1"
+    if want_parts and (p["nz_plane"] or p["nz_comb"]):
         a_p, inv_p, a_b, inv_b = state[0], state[1], state[4], state[5]
         g = p["geom"]
-        idxp, _ = t.time("  nz_plane", p["nz_plane"], a_p != 0)
-        bm = a_b[: g["out_h"] - g["row_lo"], : g["out_w"]] != 0
-        idxb, _ = t.time("  nz_band", p["nz_band"], bm)
         tail_n = p["tail_n"]
         pg_h2, pg_w2 = g["pg"]
-        r = (idxp // pg_w2) * 2
-        c = (idxp % pg_w2) * 2
+        bm = a_b[: g["out_h"] - g["row_lo"], : g["out_w"]] != 0
+        if p["nz_comb"] is not None:
+            w_u = max(g["out_w"], pg_w2)
+            pm = jnp.zeros(
+                (pg_h2, w_u), bool
+            ).at[:, :pg_w2].set(a_p != 0)
+            bm_w = jnp.zeros(
+                (bm.shape[0], w_u), bool
+            ).at[:, : g["out_w"]].set(bm)
+            comb = jnp.concatenate([pm, bm_w], 0)
+            idx_u, _ = t.time("  nz_comb", p["nz_comb"], comb)
+            ru = idx_u // w_u
+            r = jnp.where(idx_u < pg_h2 * w_u, ru * 2,
+                          g["row_lo"] + ru - pg_h2)
+            c = jnp.where(idx_u < pg_h2 * w_u, (idx_u % w_u) * 2,
+                          idx_u % w_u)
+            iv = inv_p.reshape(-1)[jnp.zeros_like(idx_u)]
+        else:
+            idxp, _ = t.time("  nz_plane", p["nz_plane"], a_p != 0)
+            t.time("  nz_band", p["nz_band"], bm)
+            r = (idxp // pg_w2) * 2
+            c = (idxp % pg_w2) * 2
+            iv = inv_p.reshape(-1)[idxp]
         cntd = jnp.sum(a_p != 0, dtype=jnp.int32) + jnp.sum(
             bm, dtype=jnp.int32
         )
         ps = t.time("  patchify", p["ppatch"], sum2d, r, c, cntd)
-        iv = inv_p.reshape(-1)[idxp]
         t.time("  tail_fn", p["tail_fn"], ps, ps, iv, cntd)
     t.report()
 
