@@ -960,8 +960,9 @@ class FusedEngine:
                 )
                 return jnp.concatenate([x, pad], 0)
 
-            def make_static_chunk(ids, gp, gc):
+            def make_static_chunk(ids, gp, gc, frames=None):
                 th = gc["th"]
+                assert frames is None or not use_packed_front
                 plane_fn = band_fn = None
                 if has_plane and use_packed_front:
                     plane_fn = make_packed_plane_front_fn(
@@ -975,7 +976,7 @@ class FusedEngine:
                     plane_fn = make_plane_front_fn(
                         packed.stages, ids, packed.win_w, packed.win_h,
                         split_r, out_w, th, self.TILE_W,
-                        interpret=self.interpret,
+                        interpret=self.interpret, frames=frames,
                     )[0]
                 if has_band and use_packed_front:
                     hb_cap = (
@@ -993,6 +994,7 @@ class FusedEngine:
                         plan.canvas_h, plan.canvas_w,
                         th, self.TILE_W,
                         interpret=self.interpret, row_lo=gc["row_lo"],
+                        frames=frames,
                     )[0]
 
                 def front(sum2d, planes, state):
@@ -1024,6 +1026,21 @@ class FusedEngine:
                 gc = geoms[th]
                 fronts.append(make_static_chunk(ids, gp, gc))
                 gp = gc
+
+            if not use_packed_front and len(geoms) == 1:
+                # in-kernel frame batching (CCTPU_KBATCH): same chunk
+                # kernels with a leading frame grid dimension; the mask
+                # re-fit between geometries doesn't batch, so this is
+                # single-geometry-plan only
+                def mk_batched_fronts(F, _chunks=tuple(static_chunks)):
+                    return [
+                        make_static_chunk(ids, g0, g0, frames=F)
+                        for (ids, _th) in _chunks
+                    ]
+
+                self._mk_batched_fronts = mk_batched_fronts
+            else:
+                self._mk_batched_fronts = None
         else:
             fronts = [jax.jit(make_front(ids)) for ids in chunks]
         use_split_tail = use_static_front and n_dense < n_stages
@@ -1085,6 +1102,17 @@ class FusedEngine:
                 return jax.jit(jax.vmap(f, in_axes=ax))
 
             use_static = prep is None
+            # in-kernel frame batching: rebuild the static chunk
+            # kernels with a leading F-frame grid dimension (vmap can't
+            # batch their HBM ANY operands, a native grid axis can) —
+            # one dispatch walks all F frames' tiles
+            import os
+
+            kbatch = (
+                use_static
+                and int(os.environ.get("CCTPU_KBATCH", "0")) > 0
+                and getattr(self, "_mk_batched_fronts", None) is not None
+            )
             self._programs[key] = (
                 (
                     vm(canvas, (0, None, None, None)),
@@ -1098,12 +1126,12 @@ class FusedEngine:
                     stitch,
                 ),
                 # static-front kernels take HBM-resident (memory space
-                # ANY) operands, which Pallas cannot vmap — they run
-                # per frame (still chained async dispatches, no syncs);
-                # at >10 ms device time per front call the lost dispatch
-                # amortization is noise
-                fronts if use_static else [vm(f, (0, 0, 0, 0))
-                                           for f in fronts],
+                # ANY) operands, which Pallas cannot vmap — per frame by
+                # default (chained async dispatches, no syncs), or
+                # F-framed kernels under CCTPU_KBATCH
+                ("kbatch", self._mk_batched_fronts(F)) if kbatch
+                else fronts if use_static
+                else [vm(f, (0, 0, 0, 0)) for f in fronts],
                 tail,
                 consts,
             )
@@ -1127,12 +1155,20 @@ class FusedEngine:
                 a_b, inv_b, bblk, bnb = prep_band(sum_b, sq_b, tab)
             state_b = (a_p, inv_p, pblk, pnb, a_b, inv_b, bblk, bnb)
             pick = jax.tree_util.tree_map
+            if isinstance(fronts, tuple) and fronts[0] == "kbatch":
+                # F-framed kernels consume the batched state directly
+                psum_b = planes[0] if planes is not None else None
+                for f in fronts[1]:
+                    state_b = f(sum_b, psum_b, state_b)
+                fronts_pf = []
+            else:
+                fronts_pf = fronts
             outs = []
             for i in range(F):
                 # fronts are per-frame (pallas ANY operands don't vmap)
                 state = pick(lambda x, i=i: x[i], state_b)
                 psum = planes[0][i] if planes is not None else None
-                for f in fronts:
+                for f in fronts_pf:
                     state = f(sum_b[i], psum, state)
                 if stitch is None:
                     outs.append(tail(sum_b[i], tilt_b[i], state))

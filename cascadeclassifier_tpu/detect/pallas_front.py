@@ -82,6 +82,7 @@ def make_plane_front_fn(
     tile_h: int = 32,
     tile_w: int = 512,
     interpret: bool = False,
+    frames: int | None = None,
 ):
     """Parity-plane variant of make_static_front_fn for the ystep-2
     levels: grid anchors of those levels sit at EVEN canvas (row, col)
@@ -96,11 +97,17 @@ def make_plane_front_fn(
 
     fn(planes, inv_p, alive_p) → alive_p' with planes (2, 2, H2, W2)
     int32, masks (hp2, wp2) in anchor-plane layout (anchor (2i, 2j) at
-    [i, j])."""
+    [i, j]).
+
+    frames (F > 0): in-kernel frame batching — arrays gain a leading F
+    axis and the grid a leading frame dimension (see
+    make_static_front_fn)."""
     hp2, wp2, halo_h2, halo_w2 = plane_pad_geometry(
         split_r, out_w, win_w, win_h, tile_h, tile_w
     )
-    grid = (hp2 // tile_h, wp2 // tile_w)
+    F = frames or 1
+    grid2 = (hp2 // tile_h, wp2 // tile_w)
+    grid = grid2 if frames is None else (F, *grid2)
     th, tw = tile_h, tile_w
     W = tw + halo_w2
 
@@ -108,19 +115,24 @@ def make_plane_front_fn(
 
     def kernel(planes_hbm, inv_ref, alive_ref, out_ref,
                tiles, acc, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        alive_in = alive_ref[:].astype(jnp.int32)
+        i = pl.program_id(0 if frames is None else 1)
+        j = pl.program_id(1 if frames is None else 2)
+        fi = None if frames is None else pl.program_id(0)
+        inv_r = inv_ref if frames is None else inv_ref.at[0]
+        alive_r = alive_ref if frames is None else alive_ref.at[0]
+        out_r = out_ref if frames is None else out_ref.at[0]
+        alive_in = alive_r[:].astype(jnp.int32)
 
         def dead():
-            out_ref[:] = jnp.zeros((th, tw), jnp.int8)
+            out_r[:] = jnp.zeros((th, tw), jnp.int8)
 
         def live():
+            src = planes_hbm if fi is None else planes_hbm.at[fi]
             cps = []
             for a in range(2):
                 for b in range(2):
                     cp = pltpu.make_async_copy(
-                        planes_hbm.at[
+                        src.at[
                             a, b,
                             pl.ds(i * th, th + halo_h2),
                             pl.ds(j * tw, W),
@@ -132,7 +144,7 @@ def make_plane_front_fn(
                     cps.append(cp)
             for cp in cps:
                 cp.wait()
-            inv = inv_ref[:]
+            inv = inv_r[:]
 
             def rect_sum(x, y, w, h, cache):
                 a1, i1 = y & 1, y >> 1
@@ -159,21 +171,29 @@ def make_plane_front_fn(
                     rd(b1)[:, j1 : j1 + tw] - rd(b2)[:, j2 : j2 + tw]
                 )
 
-            out_ref[:] = _run_stages(
+            out_r[:] = _run_stages(
                 frozen, alive_in, inv, rect_sum, acc, th, tw
             ).astype(jnp.int8)
 
         jax.lax.cond(jnp.max(alive_in) > 0, live, dead)
 
-    blk = lambda: pl.BlockSpec(  # noqa: E731
-        (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
+    if frames is None:
+        blk = lambda: pl.BlockSpec(  # noqa: E731
+            (th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((hp2, wp2), jnp.int8)
+    else:
+        blk = lambda: pl.BlockSpec(  # noqa: E731
+            (1, th, tw), lambda f, i, j: (f, i, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((F, hp2, wp2), jnp.int8)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk(), blk()],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((hp2, wp2), jnp.int8),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((4, th + halo_h2, W), jnp.int32),
             pltpu.VMEM((th, tw), jnp.float32),

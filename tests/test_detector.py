@@ -965,6 +965,22 @@ def test_fused_batched_head_programs_identical(face_img):
         # split tail's plane-then-band order)
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    # in-kernel frame batching (CCTPU_KBATCH): the F-framed chunk
+    # kernels replace the per-frame front dispatches — identical results
+    import os
+
+    os.environ["CCTPU_KBATCH"] = "1"
+    try:
+        det4 = TPUDetector(m6, exact=False, engine="fused",
+                           pallas_interpret=True)
+        det4._fused.BATCH_F = 4
+        got4 = det4.detect_multi_scale_batch(frames, 1.2, 0)
+        assert getattr(det4._fused, "_mk_batched_fronts", None) is not None
+        for a, b in zip(ref, got4):
+            assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        del os.environ["CCTPU_KBATCH"]
+
 
 def test_windowed_batch_submission_matches_per_frame(face_img):
     """The single-chip batch path packs PACK=16-frame result chunks and
