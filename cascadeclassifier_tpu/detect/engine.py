@@ -503,7 +503,18 @@ class FusedEngine:
                 make_block_nonzero_fn,
             )
 
-            if has_plane and has_band:
+            # The merged (plane ⊕ band) extraction saves ~2.4 ms on paper
+            # (one kb·128 sort instead of two) but its combined-mask
+            # geometry reproducibly FAULTS the TPU worker at 1080p
+            # (FailedPrecondition mid-batch; same fault class as
+            # kb=1<<13, see make_block_nonzero_fn) — measured r5, two
+            # independent runs, while the two-call path benches clean at
+            # 20.4 fps. Default OFF; CCTPU_NZ_MERGED=1 to re-try on a
+            # newer XLA. Raising kb past 1<<14 would double the sort
+            # that the merge exists to halve, so there is no winning
+            # kb for the combined geometry on this toolchain.
+            merged = os.environ.get("CCTPU_NZ_MERGED", "0") == "1"
+            if has_plane and has_band and merged:
                 # ONE extraction over the row-concatenated plane+band
                 # masks (unified max(out_w, padded-plane-width) index
                 # space): the kb·128 flat-index sort dominates this
@@ -514,6 +525,13 @@ class FusedEngine:
                 w_u = max(out_w, pg_w2)
                 nz_comb = make_block_nonzero_fn(
                     gL["pg_h2"] + out_h - gL["row_lo"], w_u, tail_n
+                )
+            elif has_plane and has_band:
+                nz_plane = make_block_nonzero_fn(
+                    gL["pg_h2"], pg_w2, tail_n
+                )
+                nz_band = make_block_nonzero_fn(
+                    out_h - gL["row_lo"], out_w, tail_n
                 )
             elif has_plane:
                 nz_plane = make_block_nonzero_fn(
@@ -897,7 +915,27 @@ class FusedEngine:
             )
             rl = gL["row_lo"]
             q = jnp.arange(tail_n, dtype=jnp.int32)
-            if has_plane and has_band:
+            if has_plane and has_band and nz_comb is None:
+                # two-call path (CCTPU_NZ_MERGED=0): independent plane
+                # and band extractions, concatenated plane-then-band
+                cntp = jnp.sum(a_p != 0, dtype=jnp.int32)
+                idxp, ofp = nz_plane(a_p != 0)
+                rp = (idxp // pg_w2).astype(jnp.int32) * 2
+                cp = (idxp % pg_w2).astype(jnp.int32) * 2
+                ivp = inv_p.reshape(-1)[idxp]
+                bm = a_b[: out_h - rl, :out_w] != 0
+                cntb = jnp.sum(bm, dtype=jnp.int32)
+                idxb, ofb = nz_band(bm)
+                rb = rl + (idxb // out_w).astype(jnp.int32)
+                cb = (idxb % out_w).astype(jnp.int32)
+                ivb = inv_b[: out_h - rl, :out_w].reshape(-1)[idxb]
+                blk_oflow = ofp | ofb
+                qb = jnp.clip(q - cntp, 0, tail_n - 1)
+                r = jnp.where(q < cntp, rp, rb[qb])
+                c = jnp.where(q < cntp, cp, cb[qb])
+                iv = jnp.where(q < cntp, ivp, ivb[qb])
+                cnt = cntp + cntb
+            elif has_plane and has_band:
                 # merged path: one block-nonzero over the concatenated
                 # (plane ⊕ band) masks in a unified w_u-wide space
                 h2 = gL["pg_h2"]

@@ -1068,7 +1068,16 @@ def test_block_nonzero_matches_full():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
-def test_fused_split_tail_parity():
+@pytest.mark.parametrize(
+    "nz_merged",
+    [
+        "0",
+        pytest.param("1", marks=pytest.mark.slow),  # non-default: the
+        # merged (plane ⊕ band) extraction faults real TPUs at 1080p
+        # (engine.py), kept behind CCTPU_NZ_MERGED for newer toolchains
+    ],
+)
+def test_fused_split_tail_parity(nz_merged, monkeypatch):
     """Hybrid static-front + split-tail path (survivors extracted
     straight from the plane/band masks via the block nonzero) matches
     the XLA engine exactly. STATIC_FRONT_TREES is lowered so the 6-stage
@@ -1077,6 +1086,7 @@ def test_fused_split_tail_parity():
 
     from cascadeclassifier_tpu.detect.engine import FusedEngine
 
+    monkeypatch.setenv("CCTPU_NZ_MERGED", nz_merged)
     m = read_cascade_xml(HAAR_ALT)
     m6 = dataclasses.replace(m, stages=list(m.stages[:6]))
     img = face_blob_image(240, 180, n=4, seed=7)
