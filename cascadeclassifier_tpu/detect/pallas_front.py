@@ -127,16 +127,29 @@ def make_plane_front_fn(
             out_r[:] = jnp.zeros((th, tw), jnp.int8)
 
         def live():
-            src = planes_hbm if fi is None else planes_hbm.at[fi]
             cps = []
             for a in range(2):
                 for b in range(2):
-                    cp = pltpu.make_async_copy(
-                        src.at[
+                    if fi is None:
+                        src = planes_hbm.at[
                             a, b,
                             pl.ds(i * th, th + halo_h2),
                             pl.ds(j * tw, W),
-                        ],
+                        ]
+                    else:
+                        # batched planes arrive flattened (F*4, H2, W2):
+                        # ONE combined dynamic index keeps every sliced
+                        # extent tile-aligned — a chained .at[fi] on the
+                        # 5-D ref materializes an (1,2,2,H2,W2) slice
+                        # whose H2 extent (odd) fails Mosaic's 8-align
+                        # tiling check
+                        src = planes_hbm.at[
+                            fi * 4 + 2 * a + b,
+                            pl.ds(i * th, th + halo_h2),
+                            pl.ds(j * tw, W),
+                        ]
+                    cp = pltpu.make_async_copy(
+                        src,
                         tiles.at[2 * a + b],
                         sem.at[2 * a + b],
                     )
@@ -206,6 +219,11 @@ def make_plane_front_fn(
     )
 
     def run(planes, inv_p, alive_p):
+        if frames is not None:
+            # collapse (F, 2, 2, H2, W2) → (F*4, H2, W2): contiguous
+            # leading-dim merge (no data movement) so the kernel's
+            # dynamic frame index is a plain dim-0 scalar
+            planes = planes.reshape((-1,) + planes.shape[-2:])
         return call(planes, inv_p, alive_p.astype(jnp.int8))
 
     return jax.jit(run), (hp2, wp2, halo_h2, halo_w2)
