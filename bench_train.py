@@ -64,6 +64,52 @@ def _make_data(td, n_pos, n_bg=None, bg_h=None, bg_w=None):
             else:
                 cv2.line(bg, (x, y), (x + s, y + int(rng.integers(0, s))),
                          g, int(rng.integers(1, 4)))
+        # Hard-negative decoys: near-miss variants of the positive mark,
+        # on a difficulty spectrum from crudely-different to
+        # almost-identical (jittered dot / thinner border / occlusions).
+        # Generic clutter alone lets every stage reject ~2/3 of windows
+        # (measured r5: acceptance 1.2e-5 after 6 stages), which both
+        # explodes late-stage mining (10^9 candidate windows/stage) and
+        # triggers the required-leaf-FA stop long before 20 stages. The
+        # reference's 20+-stage transcripts (res/README.md) come from
+        # real corpora whose hardest windows keep per-stage FA near the
+        # 0.5 target — decoys reproduce that FA profile, exactly like
+        # fillPassedSamples re-feeding the hardest survivors
+        # (cascadeclassifier.cpp:329-357).
+        n_decoy = max(1, density // 12)
+        for _ in range(n_decoy):
+            d = np.full((48, 48), 200, np.uint8)
+            dk = int(rng.integers(0, 6))
+            if dk == 0:  # border only (no dot)
+                cv2.rectangle(d, (6, 6), (41, 41), 20, 4)
+            elif dk == 1:  # dot only (no border)
+                cv2.circle(d, (24, 24), 9, 20, -1)
+            elif dk == 2:  # jittered near-twin: offset / resized dot
+                cv2.rectangle(d, (6, 6), (41, 41), 20, 4)
+                dx, dy = int(rng.integers(2, 7)), int(rng.integers(2, 7))
+                cv2.circle(d, (24 + dx, 24 + dy),
+                           int(rng.integers(4, 8)), 20, -1)
+            elif dk == 3:  # polarity-inverted mark
+                cv2.rectangle(d, (6, 6), (41, 41), 20, 4)
+                cv2.circle(d, (24, 24), 9, 20, -1)
+                d = (220 - d.astype(np.int16)).clip(0, 255).astype(
+                    np.uint8
+                )
+            elif dk == 4:  # occluded mark (bar through it)
+                cv2.rectangle(d, (6, 6), (41, 41), 20, 4)
+                cv2.circle(d, (24, 24), 9, 20, -1)
+                o = int(rng.integers(10, 38))
+                cv2.rectangle(d, (0, o), (47, o + 6),
+                              int(rng.integers(90, 170)), -1)
+            else:  # thin-border variant
+                cv2.rectangle(d, (6, 6), (41, 41), 20, 2)
+                cv2.circle(d, (24, 24), int(rng.integers(6, 9)), 20, -1)
+            ds = int(rng.integers(18, 80))
+            x = int(rng.integers(0, bg_w - ds))
+            y = int(rng.integers(0, bg_h - ds))
+            bg[y : y + ds, x : x + ds] = cv2.resize(
+                d, (ds, ds), interpolation=cv2.INTER_LINEAR
+            )
         bg = cv2.GaussianBlur(bg, (3, 3), 0.8)
         p = os.path.join(td, f"bg{k}.png")
         cv2.imwrite(p, bg)
